@@ -1,0 +1,70 @@
+"""Global configuration for the PySpark DeepBlocker engine.
+
+Mirrors the reference hyperparameters (/root/reference/configurations.py:1-9)
+while adding the scale knobs a distributed run needs (broadcast caps, Arrow
+batch sizing, training-sample caps). The reference hard-codes module-level
+globals; here everything is an explicit, serializable dataclass so executors
+and checkpoints can carry it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass(frozen=True)
+class BlockerConfig:
+    # --- reference hyperparameters (configurations.py:1-9) ---
+    emb_dim: int = 300              # EMB_DIMENSION_SIZE (fastText dim)
+    ae_emb_dim: int = 150           # AE_EMB_DIMENSION_SIZE
+    num_epochs: int = 50            # NUM_EPOCHS
+    batch_size: int = 256           # BATCH_SIZE
+    learning_rate: float = 1e-3     # LEARNING_RATE
+    random_seed: int = 1234         # RANDOM_SEED
+    # SIF defaults (tuple_embedding_models.py:82)
+    sif_weighting_param: float = 1e-3
+    sif_min_freq: int = 0
+    remove_pc: bool = True
+    # CTT synthetic-data defaults (tuple_embedding_models.py:187-188)
+    synth_tuples_per_tuple: int = 5
+    pos_to_neg_ratio: int = 1
+    max_perturbation: float = 0.4
+    # Top-K default (main.py:32,38,44)
+    top_k: int = 50
+
+    # --- scale knobs (no reference counterpart; SURVEY.md §4/§7) ---
+    # Max right-side rows materialized per broadcast chunk in the exact
+    # top-K join. Above this the join runs chunked + window-merged.
+    max_broadcast_rows: int = 500_000
+    # Cap on driver-collected SIF vocabulary. Tokens beyond the top-N by
+    # frequency default to weight 1.0 (they are rare -> weight ~1.0 anyway).
+    sif_max_vocab_broadcast: int = 1_000_000
+    # Cap on rows sampled to the driver for AE/CTT training.
+    train_sample_rows: int = 50_000
+    # Arrow batch size for mapInPandas stages.
+    arrow_batch_rows: int = 10_000
+    # Embedding-row policy for token-less rows: 'zero' (safe default) or
+    # 'nan' (strict parity with tuple_embedding_models.py:65,130).
+    empty_row_policy: str = "zero"
+    # CTT/Hybrid inference mode: 'as_written' reproduces the reference quirk
+    # (tuple_embedding_models.py:271-273 returns the aggregator embedding and
+    # never applies the trained ctt model); 'paper' applies the trained
+    # siamese summarizer as the VLDB'21 paper describes.
+    ctt_mode: str = "as_written"
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+DEFAULT_CONFIG = BlockerConfig()
+
+# A small config for unit tests: low dims + few epochs keep driver-side
+# training sub-second while exercising identical code paths.
+TEST_CONFIG = BlockerConfig(
+    emb_dim=32,
+    ae_emb_dim=16,
+    num_epochs=5,
+    batch_size=64,
+    top_k=5,
+    arrow_batch_rows=1_000,
+)

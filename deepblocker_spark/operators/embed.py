@@ -1,0 +1,226 @@
+"""Tuple-embedding operators (SURVEY.md O12-O16).
+
+Distributed re-expression of the reference's embedding stages:
+
+  * token frequencies (O13): JVM-side tokenize -> explode -> groupBy.count —
+    a classic partial+final hash aggregation, never leaves the JVM.
+  * SIF weights (O14): derived column on the frequency table; the weight map
+    is collected (capped) and broadcast — tokens outside the map default to
+    1.0, which matches both the min_freq rule and the fact that rare tokens'
+    weights approach 1.0 anyway.
+  * average / SIF tuple embedding (O12/O15): mapInPandas over Arrow batches;
+    inside a batch everything is vectorized numpy (flat token matrix +
+    segment-sum), no per-row Python at the Spark level.
+  * principal-component removal (O16): two-pass global op — pass 1
+    accumulates per-partition Gram matrices (dim x dim) and sums them on the
+    driver (a few hundred KB regardless of row count), the top eigenvector
+    is broadcast, pass 2 subtracts the projection. Matches the reference's
+    uncentered TruncatedSVD(n_components=1) (tuple_embedding_models.py:134-141)
+    exactly in the limit (exact eigh vs 7-iteration randomized SVD).
+
+Empty-token rows (e.g. the null->' ' imputation value) produce a zero vector
+by default with an ``_n_tokens`` column for monitoring; 'nan' policy
+reproduces the reference's NaN rows (tuple_embedding_models.py:65,130).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from deepblocker_spark.functions.tokenizer import basic_english_tokenize, tokens_col
+from deepblocker_spark.functions.wordvec import get_provider
+
+EMBEDDING = "embedding"
+N_TOKENS = "_n_tokens"
+
+
+# ---------------------------------------------------------------------------
+# O13 — token frequency aggregation (JVM-side end to end)
+# ---------------------------------------------------------------------------
+
+def token_frequencies(corpus: DataFrame, text_col: str = "_merged_text") -> DataFrame:
+    """-> DataFrame(token string, freq long). Catalyst-native hash agg with
+    map-side partial aggregation; scan is pruned to the one text column."""
+    return (
+        corpus.select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def sif_weights_df(
+    freq: DataFrame,
+    a: float = 1e-3,
+    min_freq: int = 0,
+) -> DataFrame:
+    """O14: w(tok) = a / (a + freq/total) if freq >= min_freq else 1.0
+    (tuple_embedding_models.py:113-119). total is the corpus token count."""
+    total = freq.agg(F.sum("freq").alias("t"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "freq",
+            F.when(
+                F.col("freq") >= F.lit(min_freq),
+                F.lit(a) / (F.lit(a) + F.col("freq") / F.col("t")),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("weight"),
+        )
+    )
+
+
+def collect_sif_weights(
+    weights: DataFrame,
+    max_vocab: int = 1_000_000,
+) -> dict[str, float]:
+    """Driver-side weight map, capped by frequency rank. Only frequent tokens
+    have weights far from 1.0 (w -> 1 as freq -> 0), so truncating the long
+    tail to the default 1.0 is a bounded-error, bounded-memory broadcast."""
+    rows = (
+        weights.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(max_vocab)
+        .select("token", "weight")
+        .collect()
+    )
+    return {r["token"]: float(r["weight"]) for r in rows}
+
+
+# ---------------------------------------------------------------------------
+# O12/O15 — tuple embedding via mapInPandas (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+def _embed_batch(
+    texts: pd.Series,
+    dim: int,
+    weights: dict[str, float] | None,
+    empty_row_policy: str,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch embedding: flat token lookup + segment mean.
+    Returns (n x dim float32 matrix, token counts)."""
+    provider = get_provider(dim)
+    tok_lists = [basic_english_tokenize(t) for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    n = len(tok_lists)
+    flat: list[str] = [t for toks in tok_lists for t in toks]
+    sums = np.zeros((n, dim), dtype=np.float64)
+    if flat:
+        mat = provider.matrix(flat).astype(np.float64)
+        if weights is not None:
+            w = np.fromiter(
+                (weights.get(t, 1.0) for t in flat), dtype=np.float64, count=len(flat)
+            )
+            mat *= w[:, None]
+        row_idx = np.repeat(np.arange(n), counts)
+        np.add.at(sums, row_idx, mat)
+    means = np.zeros((n, dim), dtype=np.float64)
+    nonempty = counts > 0
+    means[nonempty] = sums[nonempty] / counts[nonempty, None]
+    if empty_row_policy == "nan":
+        means[~nonempty] = np.nan
+    return means.astype(np.float32), counts
+
+
+def _with_embedding_schema(df: DataFrame) -> StructType:
+    return StructType(
+        list(df.schema.fields)
+        + [
+            StructField(EMBEDDING, ArrayType(FloatType()), False),
+            StructField(N_TOKENS, IntegerType(), False),
+        ]
+    )
+
+
+def embed_tuples(
+    df: DataFrame,
+    text_col: str = "_merged_text",
+    dim: int = 300,
+    weights: dict[str, float] | None = None,
+    empty_row_policy: str = "zero",
+) -> DataFrame:
+    """Average (weights=None, O12) or SIF (weights given, O15) embedding.
+    SIF nuance preserved: mean of weighted vectors divides by the token
+    count, not by the weight sum (tuple_embedding_models.py:124-130).
+    Adds columns: embedding array<float>, _n_tokens int."""
+    spark = df.sparkSession
+    weights_bc = spark.sparkContext.broadcast(weights) if weights is not None else None
+    out_schema = _with_embedding_schema(df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = weights_bc.value if weights_bc is not None else None
+        for pdf in batches:
+            mat, counts = _embed_batch(pdf[text_col], dim, w, empty_row_policy)
+            out = pdf.copy()
+            out[EMBEDDING] = list(mat)
+            out[N_TOKENS] = counts.astype("int32")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# O16 — principal-component removal (two-pass, driver-side eigh on dim x dim)
+# ---------------------------------------------------------------------------
+
+def compute_top_principal_component(df: DataFrame, emb_col: str = EMBEDDING, dim: int = 300) -> np.ndarray:
+    """Pass 1: per-partition Gram matrices X^T X summed on the driver; top
+    eigenvector = top right-singular vector of the (uncentered) embedding
+    matrix, matching TruncatedSVD semantics."""
+    gram_schema = StructType([StructField("gram", ArrayType(DoubleType()), False)])
+
+    def gram_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((dim, dim), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                x = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                x = np.nan_to_num(x)
+                acc += x.T @ x
+                seen = True
+        if seen:
+            yield pd.DataFrame({"gram": [acc.ravel()]})
+
+    parts = df.select(emb_col).mapInPandas(gram_part, gram_schema).collect()
+    gram = np.zeros((dim, dim), dtype=np.float64)
+    for r in parts:
+        gram += np.asarray(r["gram"], dtype=np.float64).reshape(dim, dim)
+    _, vecs = np.linalg.eigh(gram)
+    return vecs[:, -1].copy()  # top eigenvector
+
+
+def remove_principal_component(df: DataFrame, emb_col: str = EMBEDDING, dim: int = 300) -> DataFrame:
+    """Pass 2: X - (X . pc) pc with the broadcast pc. Refits per call, like
+    the reference (each get_tuple_embedding call refits SVD,
+    deep_blocker.py:61-63 -> tuple_embedding_models.py:134-141)."""
+    pc = compute_top_principal_component(df, emb_col, dim)
+    spark = df.sparkSession
+    pc_bc = spark.sparkContext.broadcast(pc)
+    schema = df.schema
+
+    def subtract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = pc_bc.value
+        for pdf in batches:
+            if len(pdf):
+                x = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                x = x - np.outer(x @ v, v)
+                out = pdf.copy()
+                out[emb_col] = list(x.astype(np.float32))
+                yield out
+            else:
+                yield pdf
+
+    return df.mapInPandas(subtract, schema)
