@@ -1,0 +1,97 @@
+"""Transitive clustering via connected components (BASELINE.json
+north_star; no reference counterpart — the reference stops at candidate
+pairs).
+
+GraphFrames is unavailable, so this is a self-contained iterative
+implementation over DataFrames: minimum-label propagation with symmetric
+edges. Each iteration is one shuffle (join on node id + min-aggregate);
+convergence is checked with a cheap count of changed labels, and the label
+frame is ``localCheckpoint``-ed every iteration to cut the growing lineage
+(the classic iterative-algorithm trap on Spark).
+
+For ER candidate graphs, components are near-cliques of duplicates —
+diameter is tiny, so the loop converges in 2-4 iterations regardless of
+table size. A large-star/small-star variant is only warranted for
+adversarial long-chain graphs; for this workload min-label propagation is
+the cheaper plan (fewer shuffles per iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "l_id",
+    dst: str = "r_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """-> DataFrame(id, component) where component = min node id reachable.
+
+    Node ids must be orderable (string sha ids and int ids both are).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).dropDuplicates()
+    sym = sym.repartition("a").localCheckpoint()
+
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .dropDuplicates()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iter):
+        # candidate label for each node: min over neighbors' labels
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
+            .select(
+                "id",
+                "component",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("new_component"),
+            )
+        )
+        changed = updated.filter(F.col("new_component") < F.col("component")).count()
+        labels = updated.select(
+            "id", F.col("new_component").alias("component")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    return labels
+
+
+def clusters_from_candidates(
+    candidates: DataFrame,
+    min_sim: float | None = None,
+    sim_col: str = "sim",
+) -> DataFrame:
+    """Threshold candidate pairs then cluster: -> (id, component)."""
+    e = candidates
+    if min_sim is not None:
+        e = e.filter(F.col(sim_col) >= min_sim)
+    return connected_components(e)
+
+
+def clusters_to_pairs(clusters: DataFrame) -> DataFrame:
+    """All undirected intra-cluster pairs (a < b) — the pairwise view used
+    by the F1 metric. Join is co-partitioned on component (one shuffle).
+    Singleton components emit nothing."""
+    l = clusters.select(F.col("component"), F.col("id").alias("a"))
+    r = clusters.select(F.col("component"), F.col("id").alias("b"))
+    return (
+        l.join(r, "component")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "component")
+    )

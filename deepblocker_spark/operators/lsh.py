@@ -1,0 +1,186 @@
+"""LSH-bucketed cosine candidate generation — the scale path for the top-K
+similarity join (SURVEY.md §7.2 step 9; BASELINE.json north_star).
+
+No reference counterpart: the reference's ExactTopK materializes the full
+N_l x N_r similarity matrix (/root/reference/vector_pairing_models.py:44),
+an O(N^2) wall. Here:
+
+  random-hyperplane signatures  ->  band buckets  ->  shuffle on bucket key
+  ->  per-bucket exact cosine (applyInPandas)  ->  global per-left top-K.
+
+Design-for-scale notes:
+  * The hyperplane matrix is derived from a seed — every executor
+    regenerates it identically; nothing is shipped.
+  * Signature computation is one matmul + bitpacking per Arrow batch.
+  * The only shuffle is groupBy(band, bucket); hot buckets (boilerplate
+    files, licenses — FIXTURES.md F1 skew note) are handled by (a) AQE skew
+    split being on, (b) a hard per-bucket cap with deterministic truncation
+    + an overflow count surfaced via ``bucket_stats`` (no silent loss:
+    callers can see exactly which buckets truncated).
+  * Exact mode (operators/topk.py) remains the recall oracle; recall@K of
+    LSH vs exact is measured in tests and bench.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from deepblocker_spark.operators.embed import EMBEDDING
+from deepblocker_spark.operators.topk import normalize_rows
+
+
+def hyperplanes(dim: int, n_bands: int, band_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((n_bands * band_bits, dim))
+
+
+def signature_buckets(
+    df: DataFrame,
+    id_col: str = "id",
+    emb_col: str = EMBEDDING,
+    dim: int = 300,
+    n_bands: int = 8,
+    band_bits: int = 12,
+    seed: int = 1234,
+) -> DataFrame:
+    """-> DataFrame(id, band int, bucket long): one row per (row, band).
+    bucket = the band's sign bits packed into an int64."""
+    out_schema = StructType(
+        [
+            StructField(id_col, df.select(id_col).schema.fields[0].dataType, True),
+            StructField("band", IntegerType(), False),
+            StructField("bucket", LongType(), False),
+        ]
+    )
+    params = (dim, n_bands, band_bits, seed)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        d, nb, bb, sd = params
+        planes = hyperplanes(d, nb, bb, sd)  # regenerated per executor
+        pow2 = (1 << np.arange(bb)).astype(np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.nan_to_num(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
+            bits = (x @ planes.T) > 0  # (n, nb*bb)
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            out_ids, out_band, out_bucket = [], [], []
+            for band in range(nb):
+                chunk = bits[:, band * bb : (band + 1) * bb]
+                buckets = chunk @ pow2
+                out_ids.append(ids)
+                out_band.append(np.full(n, band, dtype=np.int32))
+                out_bucket.append(buckets)
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_ids),
+                    "band": np.concatenate(out_band),
+                    "bucket": np.concatenate(out_bucket),
+                }
+            )
+
+    return df.select(id_col, emb_col).mapInPandas(run, out_schema)
+
+
+def bucket_stats(buckets: DataFrame) -> DataFrame:
+    """Bucket-size distribution for skew monitoring: (band, bucket, size)."""
+    return buckets.groupBy("band", "bucket").agg(F.count("*").alias("size"))
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str = "id",
+    emb_col: str = EMBEDDING,
+    dim: int = 300,
+    k: int = 50,
+    n_bands: int = 8,
+    band_bits: int = 12,
+    seed: int = 1234,
+    max_bucket_rows: int = 5_000,
+    min_sim: float | None = None,
+) -> DataFrame:
+    """Self-join candidate generation: -> (l_id, r_id, sim, rank), rank<=k
+    per l_id, l_id != r_id, deterministic (sim desc, r_id asc) tie-break.
+
+    Oversized buckets are truncated to ``max_bucket_rows`` rows ordered by
+    id (deterministic); use ``bucket_stats`` to quantify truncation.
+    """
+    sigs = signature_buckets(df, id_col, emb_col, dim, n_bands, band_bits, seed)
+    joined = sigs.join(df.select(id_col, emb_col), id_col)
+
+    id_type = df.select(id_col).schema.fields[0].dataType
+    pair_schema = StructType(
+        [
+            StructField("l_id", id_type, True),
+            StructField("r_id", id_type, True),
+            StructField("sim", DoubleType(), False),
+        ]
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
+        if len(pdf) > max_bucket_rows:
+            pdf = pdf.sort_values(id_col).head(max_bucket_rows)
+        ids = pdf[id_col].to_numpy()
+        x = normalize_rows(
+            np.nan_to_num(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
+        )
+        sims = x @ x.T
+        n = len(ids)
+        kk = min(k, n - 1)
+        # top-(k+1) incl. self, then drop self
+        take = min(kk + 1, n)
+        part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        rows = np.repeat(np.arange(n), take)
+        cols = part.ravel()
+        keep = rows != cols
+        rows, cols = rows[keep], cols[keep]
+        s = sims[rows, cols]
+        return pd.DataFrame({"l_id": ids[rows], "r_id": ids[cols], "sim": s})
+
+    pairs = (
+        joined.groupBy("band", "bucket")
+        .applyInPandas(per_bucket, pair_schema)
+        .dropDuplicates(["l_id", "r_id"])
+    )
+    if min_sim is not None:
+        pairs = pairs.filter(F.col("sim") >= min_sim)
+    w = Window.partitionBy("l_id").orderBy(F.desc("sim"), F.asc("r_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+class LSHVectorPairing:
+    """Drop-in approximate alternative to ExactTopKVectorPairing for the
+    self-dedup path: same index/query seam, LSH-bucketed execution."""
+
+    def __init__(self, k: int = 50, dim: int = 300, n_bands: int = 8,
+                 band_bits: int = 12, seed: int = 1234,
+                 max_bucket_rows: int = 5_000, min_sim: float | None = None):
+        self.k, self.dim = k, dim
+        self.n_bands, self.band_bits, self.seed = n_bands, band_bits, seed
+        self.max_bucket_rows, self.min_sim = max_bucket_rows, min_sim
+        self.exclude_self = True  # LSH self-join never emits self-pairs
+
+    def index(self, right: DataFrame, r_id: str = "id", emb_col: str = EMBEDDING):
+        self._right, self._r_id, self._emb = right, r_id, emb_col
+        return self
+
+    def query(self, left: DataFrame, l_id: str = "id", emb_col: str | None = None) -> DataFrame:
+        return lsh_candidates(
+            self._right, self._r_id, emb_col or self._emb, self.dim, self.k,
+            self.n_bands, self.band_bits, self.seed, self.max_bucket_rows, self.min_sim,
+        )

@@ -1,0 +1,114 @@
+"""Pairwise candidate scoring (BASELINE.json north_star; no reference
+counterpart — the reference stops at the candidate set).
+
+  * cosine re-score: pure built-in Column expression (zip_with + aggregate),
+    whole-stage-codegen'd JVM arithmetic — the fast path for scoring a pair
+    table that already carries both embeddings.
+  * Jaro / Jaro-Winkler: classic ER string similarity, vectorized over Arrow
+    batches in a pandas UDF (no JVM built-in exists).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """JVM-side cosine between two array<float/double> columns; 0.0 when
+    either norm is zero (guards the reference's 0/0 NaN)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v)  # noqa: E731
+    denom = F.sqrt(sq(a)) * F.sqrt(sq(b))
+    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+
+
+def _jaro(s1: str, s2: str) -> float:
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    matches = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
+
+
+def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+    j = _jaro(s1, s2)
+    prefix = 0
+    for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
+        if a == b:
+            prefix += 1
+        else:
+            break
+    return j + prefix * p * (1.0 - j)
+
+
+@pandas_udf(DoubleType())
+def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    out = np.empty(len(s1), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(s1, s2)):
+        out[i] = jaro_winkler(a or "", b or "")
+    return pd.Series(out)
+
+
+def score_candidates(
+    candidates: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "_merged_text",
+    emb_col: str = "embedding",
+    id_col: str = "id",
+) -> DataFrame:
+    """Join candidate pairs back to both sides' text + embedding and attach
+    ``cosine`` (JVM) and ``jaro_winkler`` (Arrow UDF) scores. The pair table
+    is the big side; left/right lookups shuffle on their ids (or broadcast
+    when small — Catalyst/AQE decides from stats)."""
+    l = left.select(
+        F.col(id_col).alias("l_id"),
+        F.col(text_col).alias("_l_text"),
+        F.col(emb_col).alias("_l_emb"),
+    )
+    r = right.select(
+        F.col(id_col).alias("r_id"),
+        F.col(text_col).alias("_r_text"),
+        F.col(emb_col).alias("_r_emb"),
+    )
+    out = (
+        candidates.join(l, "l_id").join(r, "r_id")
+        .withColumn("cosine", cosine_col(F.col("_l_emb"), F.col("_r_emb")))
+        .withColumn("jw", jaro_winkler_udf(F.col("_l_text"), F.col("_r_text")))
+    )
+    return out.drop("_l_emb", "_r_emb", "_l_text", "_r_text")

@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting. All pure Column
+expressions (whole-stage codegen; zero Python in the hot path), built on
+the shared parity tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deepblocker_spark.functions.tokenizer import tokens_col
+
+# Tiny marker-word inventories for the n-gram/stopword language heuristic.
+# Deterministic and engine-portable (plain set membership counts).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "are"],
+    "es": ["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour", "que", "sur"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "den"],
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ["a", "an", "it", "on", "as", "at", "by", "be"]
+
+
+def token_count_col(text: Column | str) -> Column:
+    return F.size(tokens_col(text))
+
+
+def punct_ratio_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[^\x20-\x7e]", "")
+    punct = F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")
+    return F.when(
+        F.length(c) > 0, F.length(punct) / F.length(c)
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio_col(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    toks = tokens_col(text)
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS_EN)])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score_col(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    mean word length band. Deterministic arithmetic only."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_col(c)
+    n_tok = F.size(toks)
+    n_char = F.length(c)
+    mean_wl = F.when(n_tok > 0, n_char / n_tok).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio_col(c) * 4, F.lit(1.0))
+    wl_score = F.when((mean_wl >= 3) & (mean_wl <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score + punct_score + wl_score) / 3.0, 6)
+
+
+def lang_scores(text: Column | str) -> list[tuple[str, Column]]:
+    toks = tokens_col(text)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        out.append((lang, F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))))
+    return out
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Argmax of marker hits with deterministic tie-break (lang name asc;
+    'und' when nothing matches)."""
+    scores = lang_scores(text)
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    for lang, s in sorted(scores, key=lambda p: p[0], reverse=True):
+        expr = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_fingerprint_col(text: Column | str) -> Column:
+    """Whitespace/punct-normalized content hash: md5 of the joined token
+    stream — equal for documents differing only in layout."""
+    return F.md5(F.concat_ws(" ", tokens_col(text)))
+
+
+def shingle_min_fingerprint_col(text: Column | str, n: int = 3) -> Column:
+    """Winnowing-lite rolling-hash fingerprint: minimum md5 over token
+    n-gram shingles (None when fewer than n tokens)."""
+    from deepblocker_spark.operators.dedup import token_shingles
+
+    sh = token_shingles(tokens_col(text), n)
+    return F.array_min(F.transform(sh, F.md5))
+
+
+def document_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-pass profile: counts, ratios, quality, language, fingerprints."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count_col(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        F.round(punct_ratio_col(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio_col(t), 6).alias("stopword_ratio"),
+        quality_score_col(t).alias("quality"),
+        lang_id_col(t).alias("lang_pred"),
+        normalized_fingerprint_col(t).alias("fingerprint"),
+    )

@@ -1,0 +1,105 @@
+"""Dedup-suite and text-analysis operator tests with hand-computed oracles."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepblocker_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_duplicates,
+)
+from deepblocker_spark.operators.textstats import document_profile
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+            (2, "the quick brown fox jumps over the lazy dog near the bank"),  # near dup of 0
+            (3, "completely different content about database query engines and optimizers"),
+            (4, "el rapido zorro marron salta sobre el perro perezoso de la ciudad"),
+            (5, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(_docs(spark)).toPandas()
+    assert set(out["doc_id"]) == {0, 1}
+    assert (out["group_size"] == 2).all()
+
+
+def test_minhash_signature_properties(spark):
+    sig = minhash_signatures(_docs(spark), num_hashes=8).toPandas().set_index("doc_id")
+    # identical docs -> identical signatures
+    assert list(sig.loc[0]) == list(sig.loc[1])
+    # near-dup shares most minhashes; unrelated shares few
+    same_near = sum(sig.loc[0, f"mh{i}"] == sig.loc[2, f"mh{i}"] for i in range(8))
+    same_far = sum(sig.loc[0, f"mh{i}"] == sig.loc[3, f"mh{i}"] for i in range(8))
+    assert same_near >= 5
+    assert same_far <= 2
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = minhash_lsh_pairs(
+        _docs(spark), num_hashes=16, n_bands=8, jaccard_threshold=0.5
+    ).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in found
+    assert (0, 2) in found and (1, 2) in found
+    assert not any(3 in p or 4 in p for p in found)
+    # jaccard of exact dup is 1.0
+    exact_row = pairs[(pairs["a"] == 0) & (pairs["b"] == 1)]
+    assert exact_row["jaccard"].iloc[0] == pytest.approx(1.0)
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.3).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in found
+    assert (0, 2) in found
+    assert not any(3 in p for p in found)
+    row = pairs[(pairs["a"] == 0) & (pairs["b"] == 1)]
+    assert row["jaccard"].iloc[0] == pytest.approx(1.0)
+
+
+def test_simhash_properties(spark):
+    sh = simhash(_docs(spark)).toPandas().set_index("doc_id")["simhash"]
+    assert sh.loc[0] == sh.loc[1]
+    ham = bin(int(sh.loc[0]) ^ int(sh.loc[2])).count("1")
+    ham_far = bin(int(sh.loc[0]) ^ int(sh.loc[3])).count("1")
+    assert ham < ham_far
+    assert sh.loc[5] == 0
+
+
+def test_simhash_near_duplicates(spark):
+    out = simhash_near_duplicates(_docs(spark), max_hamming=10).toPandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(out["a"], out["b"])}
+    assert (0, 1) in found
+    ham0 = out[(out["a"] == 0) & (out["b"] == 1)]["hamming"].iloc[0]
+    assert ham0 == 0
+
+
+def test_document_profile(spark):
+    prof = document_profile(_docs(spark)).toPandas().set_index("doc_id")
+    assert prof.loc[0, "n_tokens"] == 13
+    assert prof.loc[0, "lang_pred"] == "en"
+    assert prof.loc[4, "lang_pred"] == "es"
+    assert prof.loc[5, "n_tokens"] == 0
+    assert prof.loc[5, "lang_pred"] == "und"
+    # layout-invariant fingerprint: extra whitespace doesn't change it
+    df2 = spark.createDataFrame(
+        [(0, "the  quick   brown fox jumps over the lazy dog near the river bank")],
+        ["doc_id", "text"],
+    )
+    fp2 = document_profile(df2).collect()[0]["fingerprint"]
+    assert fp2 == prof.loc[0, "fingerprint"]
+    assert 0.0 <= prof["quality"].min() and prof["quality"].max() <= 1.0
+    assert prof.loc[0, "stopword_ratio"] == pytest.approx(3 / 13, abs=1e-5)

@@ -1,0 +1,156 @@
+"""LSH candidate generation, scoring, and connected-components tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from deepblocker_spark.operators.ann import brute_force_topk, lsh_topk, recall_at_k
+from deepblocker_spark.operators.cluster import (
+    clusters_from_candidates,
+    clusters_to_pairs,
+    connected_components,
+)
+from deepblocker_spark.operators.lsh import bucket_stats, lsh_candidates, signature_buckets
+from deepblocker_spark.operators.scoring import (
+    cosine_col,
+    jaro_winkler,
+    score_candidates,
+)
+
+DIM = 16
+
+
+def _clustered_embeddings(spark, n_clusters=8, per_cluster=5, seed=3):
+    """Vectors in tight clusters: LSH must recover intra-cluster neighbors."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, DIM))
+    rows = []
+    ids = []
+    for c in range(n_clusters):
+        for i in range(per_cluster):
+            v = centers[c] + rng.normal(scale=0.02, size=DIM)
+            rows.append(v.astype(np.float32))
+            ids.append(c * 100 + i)
+    pdf = pd.DataFrame({"id": ids, "embedding": rows})
+    return spark.createDataFrame(pdf), ids
+
+
+def test_signature_buckets_shape_and_determinism(spark):
+    df, ids = _clustered_embeddings(spark)
+    sigs = signature_buckets(df, dim=DIM, n_bands=4, band_bits=6, seed=7)
+    pdf = sigs.toPandas()
+    assert len(pdf) == len(ids) * 4
+    pdf2 = signature_buckets(df, dim=DIM, n_bands=4, band_bits=6, seed=7).toPandas()
+    a = pdf.sort_values(["id", "band"]).reset_index(drop=True)
+    b = pdf2.sort_values(["id", "band"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # same cluster -> same bucket for near-identical vectors
+    stats = bucket_stats(sigs).toPandas()
+    assert stats["size"].max() >= 5
+
+
+def test_lsh_recovers_cluster_neighbors(spark):
+    df, ids = _clustered_embeddings(spark)
+    cands = lsh_candidates(df, dim=DIM, k=4, n_bands=4, band_bits=6, seed=7)
+    pdf = cands.toPandas()
+    assert (pdf["l_id"] != pdf["r_id"]).all()
+    # every row's top-4 should be its 4 cluster-mates
+    hits = pdf[(pdf["l_id"] // 100) == (pdf["r_id"] // 100)]
+    assert len(hits) / len(pdf) > 0.95
+
+
+def test_lsh_recall_vs_exact_oracle(spark):
+    df, _ = _clustered_embeddings(spark)
+    exact = brute_force_topk(df, k=4, id_col="id", emb_col="embedding")
+    approx = lsh_topk(df, k=4, id_col="id", emb_col="embedding", dim=DIM,
+                      n_bands=4, band_bits=6)
+    r = recall_at_k(approx, exact).collect()[0]
+    assert r["recall_at_k"] >= 0.9
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7), (8, 9), (9, 10), (10, 8)],
+        ["l_id", "r_id"],
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[8] == comp[9] == comp[10] == 8
+    assert 7 not in comp  # self-loop only: no edge -> not in any component
+
+
+def test_connected_components_chain(spark):
+    # long chain forces multiple propagation rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["l_id", "r_id"])
+    comp = connected_components(edges).toPandas()
+    assert set(comp["component"]) == {0}
+    assert len(comp) == 13
+
+
+def test_clusters_to_pairs(spark):
+    clusters = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (9, 9)], ["id", "component"]
+    )
+    pairs = {(r["a"], r["b"]) for r in clusters_to_pairs(clusters).collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_clusters_from_candidates_threshold(spark):
+    cands = spark.createDataFrame(
+        [(1, 2, 0.99), (2, 3, 0.40), (4, 5, 0.95)], ["l_id", "r_id", "sim"]
+    )
+    comp = {r["id"]: r["component"] for r in clusters_from_candidates(cands, min_sim=0.9).collect()}
+    assert comp[1] == comp[2]
+    assert 3 not in comp
+    assert comp[4] == comp[5]
+
+
+def test_jaro_winkler_known_values():
+    assert jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-3)
+    assert jaro_winkler("same", "same") == 1.0
+    assert jaro_winkler("", "x") == 0.0
+
+
+def test_cosine_col_and_score_candidates(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2],
+                "_merged_text": ["alpha beta", "gamma delta"],
+                "embedding": [np.array([1, 0, 0], np.float32), np.array([0, 1, 0], np.float32)],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [10, 20],
+                "_merged_text": ["alpha beta", "epsilon"],
+                "embedding": [np.array([1, 0, 0], np.float32), np.array([0, 0, 1], np.float32)],
+            }
+        )
+    )
+    cands = spark.createDataFrame([(1, 10), (2, 20)], ["l_id", "r_id"])
+    out = {(r["l_id"], r["r_id"]): r for r in score_candidates(cands, left, right).collect()}
+    assert out[(1, 10)]["cosine"] == pytest.approx(1.0)
+    assert out[(1, 10)]["jw"] == pytest.approx(1.0)
+    assert out[(2, 20)]["cosine"] == pytest.approx(0.0)
+    assert out[(2, 20)]["jw"] < 1.0
+
+
+def test_cosine_col_zero_vector_guard(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "a": [np.zeros(3, np.float32)],
+                "b": [np.array([1, 2, 3], np.float32)],
+            }
+        )
+    )
+    row = df.select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()[0]
+    assert row["c"] == 0.0
