@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship self-blocking query on sf0.001 documents.
+``queries()`` — one callable per implemented operator family (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible
+query; non-SQL-expressible ops (hash-projection embeddings, LSH over random
+hyperplanes, simhash) are rows-only by design and documented as such.
+
+Column names, rounding, and arithmetic are parity-locked between the Spark
+callables and the SQL strings: every computed column is aliased identically
+on both sides, float outputs are rounded (r6/r9) after double-precision
+arithmetic, and integer-ish outputs are cast to bigint in Spark (DuckDB's
+counts/len are BIGINT).
 """
 
 from __future__ import annotations
@@ -12,27 +18,593 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deepblocker_spark.config import BlockerConfig
+from deepblocker_spark.functions.tokenizer import duckdb_tokens_sql, tokens_col
+from deepblocker_spark.operators.ann import brute_force_topk, lsh_topk
+from deepblocker_spark.operators.cluster import connected_components
+from deepblocker_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signature_cols,
+    simhash,
+)
+from deepblocker_spark.operators.embed import sif_weights_df, token_frequencies
+from deepblocker_spark.operators.golden import golden_pairs_from_splits
+from deepblocker_spark.operators.metrics import blocking_statistics
+from deepblocker_spark.operators.preprocess import preprocess_table
+from deepblocker_spark.operators.scoring import cosine_col
+from deepblocker_spark.operators.textstats import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    document_profile,
+)
+from deepblocker_spark.operators.topk import exact_topk_join
+from deepblocker_spark.pipeline import DeepBlocker, SparkSIFEmbedding
+from deepblocker_spark.operators.topk import ExactTopKVectorPairing
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_TOKS = duckdb_tokens_sql("text")  # DuckDB token-list fragment (parity-locked)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _emb_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+_FLAGSHIP_CFG = BlockerConfig(
+    emb_dim=64, top_k=5, sif_max_vocab_broadcast=100_000, remove_pc=True
+)
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> preprocess(text,lang,source) -> SIF embed (hash
+    word-vectors, PC removal) -> exact top-5 self-blocking join."""
+    docs = _t(spark, sf_dir, "documents")
+    blocker = DeepBlocker(
+        SparkSIFEmbedding(_FLAGSHIP_CFG),
+        ExactTopKVectorPairing(k=5, exclude_self=True),
+        _FLAGSHIP_CFG,
+    )
+    return blocker.block_self(docs, ["text", "lang", "source"], id_col="doc_id")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries — each (spark, sf_dir) -> DataFrame
+# ---------------------------------------------------------------------------
+
+def q_preprocess_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O4-O8: project -> null->' ' -> cast -> concat_ws in declared order
+    docs = _t(spark, sf_dir, "documents")
+    out = preprocess_table(docs, ["text", "lang", "source"], id_col="doc_id")
+    return out.select("doc_id", F.col("_merged_text").alias("merged_text"))
+
+
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O9/O10/O13: union corpus -> tokenize -> explode -> hash agg
+    docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("_merged_text"))
+    return token_frequencies(docs, "_merged_text")
+
+
+def q_sif_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O14: SIF weight formula over the frequency table
+    docs = _t(spark, sf_dir, "documents").select(F.col("text").alias("_merged_text"))
+    freq = token_frequencies(docs, "_merged_text")
+    w = sif_weights_df(freq, a=1e-3, min_freq=0)
+    return w.select("token", "freq", F.round("weight", 9).alias("weight"))
+
+
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text analysis: token count, ratios, quality, lang-id, fingerprint
+    docs = _t(spark, sf_dir, "documents")
+    prof = document_profile(docs, "doc_id", "text")
+    return prof.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        "quality",
+        "lang_pred",
+        "fingerprint",
+    )
+
+
+def q_content_hash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-dedup building block: sha256 hash + group sizes
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
+    sizes = hashed.groupBy("content_hash").agg(F.count("*").alias("group_size"))
+    return hashed.join(sizes, "content_hash").select("doc_id", "content_hash", "group_size")
+
+
+def q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JVM-side minhash signatures (8 permutations)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", *minhash_signature_cols(tokens_col("text"), 8))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # banded minhash LSH + exact-Jaccard verification
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, n_bands=8, jaccard_threshold=0.9
+    )
+    return pairs.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-gram shingle inverted-index similarity join
+    from deepblocker_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    return pairs.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O23-O25: exact top-10 cosine self-join over the embeddings table
+    emb = _t(spark, sf_dir, "embeddings")
+    out = exact_topk_join(
+        emb, emb, k=10, l_id="vec_id", r_id="vec_id",
+        emb_col="embedding", exclude_self=True,
+    )
+    return out.select(
+        "l_id", "r_id", F.round("sim", 6).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-cosine near-duplicate pairs, JVM-side cosine (zip_with fold)
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), _emb_double(F.col("embedding")).alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), _emb_double(F.col("embedding")).alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine_col(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= 0.4)
+        .select("a", "b", F.round("cos", 6).alias("cos"))
+    )
+
+
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O26/O27: blocking metrics of top-10 candidates vs same-label golden
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cands = exact_topk_join(
+        emb, emb, k=10, l_id="vec_id", r_id="vec_id",
+        emb_col="embedding", exclude_self=True,
+    )
+    l = emb.select(F.col("vec_id").alias("ltable_id"), F.col("label").alias("la"))
+    r = emb.select(F.col("vec_id").alias("rtable_id"), F.col("label").alias("lb"))
+    golden = (
+        l.crossJoin(r)
+        .filter((F.col("la") == F.col("lb")) & (F.col("ltable_id") != F.col("rtable_id")))
+        .select("ltable_id", "rtable_id")
+    )
+    stats = blocking_statistics(cands, golden, n, n)
+    return stats.select(
+        F.col("left_num_tuples").cast("long").alias("left_num_tuples"),
+        F.col("right_num_tuples").cast("long").alias("right_num_tuples"),
+        F.round("recall", 9).alias("recall"),
+        F.round("cssr", 9).alias("cssr"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_golden").cast("long").alias("n_golden"),
+        F.col("true_positives").cast("long").alias("true_positives"),
+    )
+
+
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transitive clustering: connected components over near-dup pairs
+    pairs = q_emb_neardup(spark, sf_dir).select(
+        F.col("a").alias("l_id"), F.col("b").alias("r_id")
+    )
+    return connected_components(pairs).select("id", "component")
+
+
+def q_golden_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O28-O30: filter labeled splits to label==1, union, project
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ltable_id"),
+        F.col("o_orderkey").alias("rtable_id"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("label"),
+        "o_orderpriority",
+    )
+    s1 = orders.filter(F.col("o_orderpriority").startswith("1")).drop("o_orderpriority")
+    s2 = orders.filter(F.col("o_orderpriority").startswith("2")).drop("o_orderpriority")
+    s3 = orders.filter(F.col("o_orderpriority").startswith("3")).drop("o_orderpriority")
+    return golden_pairs_from_splits(s1, s2, s3)
+
+
+def q_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1-flavored hash aggregation (exact decimal sums -> double)
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("_sq"),
+            F.sum(dec("l_extendedprice")).alias("_sp"),
+            F.count("*").alias("count_order"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        "count_order",
+    )
+
+
+def q_mktsegment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # broadcast equi-join + aggregation
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "inner"
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time bucketing + aggregation on the events stream table
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_brand_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # window top-k per group (the idiomatic re-expression of per-row argsort)
+    from pyspark.sql import Window
+
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"),
+                F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def q_lsh_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate ANN path (random-hyperplane LSH) — rows-only check by
+    # design: hyperplanes come from a seeded PCG64 stream, not SQL-expressible
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb, k=5, id_col="vec_id", emb_col="embedding",
+                   dim=64, n_bands=8, band_bits=8)
+    return out.select("l_id", "r_id", F.round("sim", 6).alias("sim"))
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # simhash fingerprints — rows-only (64-bit bit-matrix not SQL-expressible)
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+def q_flagship_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end SIF + exact top-K self-blocking — rows-only (hash-projection
+    # word vectors are seeded-PRNG, not SQL-expressible); correctness is
+    # covered by golden-cluster pytest e2e + recall tests
+    return _flagship(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "preprocess_merge": q_preprocess_merge,
+        "token_freq": q_token_freq,
+        "sif_weights": q_sif_weights,
+        "doc_profile": q_doc_profile,
+        "content_hash_groups": q_content_hash_groups,
+        "minhash_sig": q_minhash_sig,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "topk_cosine": q_topk_cosine,
+        "emb_neardup": q_emb_neardup,
+        "knn_recall": q_knn_recall,
+        "cc_components": q_cc_components,
+        "golden_etl": q_golden_etl,
+        "q1_pricing": q_q1_pricing,
+        "mktsegment_orders": q_mktsegment_orders,
+        "events_hourly": q_events_hourly,
+        "brand_top_parts": q_brand_top_parts,
+        "lsh_topk_emb": q_lsh_topk_emb,
+        "simhash_docs": q_simhash_docs,
+        "flagship_blocking": q_flagship_blocking,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _lang_scores_sql() -> tuple[str, str]:
+    """(score column defs, case expr) mirroring textstats.lang_id_col:
+    priority order = lang name ascending."""
+    defs = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        defs.append(f"len(list_filter(toks, t -> t in ({lst}))) as s_{lang}")
+    langs_sorted = sorted(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs_sorted) + ")"
+    whens = " ".join(
+        f"when {best} > 0 and s_{l} = {best} then '{l}'" for l in langs_sorted
+    )
+    return ", ".join(defs), f"case {whens} else 'und' end"
+
+
+def _minhash_cols_sql(n: int) -> str:
+    return ", ".join(
+        f"list_min(list_transform(dtoks, t -> md5('{i}:' || t))) as mh{i}"
+        for i in range(n)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sw = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    lang_defs, lang_case = _lang_scores_sql()
+
+    doc_profile_sql = f"""
+with t as (
+  select doc_id, text, {_TOKS} as toks from documents
+), s as (
+  select doc_id,
+         len(toks)::BIGINT as n_tokens,
+         length(text)::BIGINT as n_chars,
+         case when length(text) > 0
+              then length(regexp_replace(text, '[a-zA-Z0-9 \t\n\r\f\x0b]', '', 'g'))::DOUBLE / length(text)
+              else 0.0 end as pr,
+         case when len(toks) > 0
+              then len(list_filter(toks, t -> t in ({sw})))::DOUBLE / len(toks)
+              else 0.0 end as sr,
+         case when len(toks) > 0 then length(text)::DOUBLE / len(toks) else 0.0 end as mean_wl,
+         {lang_defs},
+         md5(array_to_string(toks, ' ')) as fingerprint,
+         toks
+  from t
+)
+select doc_id, n_tokens, n_chars,
+       round(pr, 6) as punct_ratio,
+       round(sr, 6) as stopword_ratio,
+       round((least(n_tokens / 50.0, 1.0)
+              + (1.0 - least(pr * 4, 1.0))
+              + (case when mean_wl >= 3 and mean_wl <= 12 then 1.0 else 0.5 end)) / 3.0, 6) as quality,
+       {lang_case} as lang_pred,
+       fingerprint
+from s
+"""
+
+    minhash_pairs_sql = f"""
+with base as (
+  select * from (select doc_id as id, list_distinct({_TOKS}) as dtoks from documents)
+  where len(dtoks) > 0
+), sig as (
+  select id, dtoks, {_minhash_cols_sql(16)} from base
+), band_keys as (
+  select id, band,
+         case band
+           when 0 then md5(mh0 || '|' || mh1)
+           when 1 then md5(mh2 || '|' || mh3)
+           when 2 then md5(mh4 || '|' || mh5)
+           when 3 then md5(mh6 || '|' || mh7)
+           when 4 then md5(mh8 || '|' || mh9)
+           when 5 then md5(mh10 || '|' || mh11)
+           when 6 then md5(mh12 || '|' || mh13)
+           when 7 then md5(mh14 || '|' || mh15)
+         end as key
+  from sig, unnest(generate_series(0, 7)) as t(band)
+), cand as (
+  select distinct l.id as a, r.id as b
+  from band_keys l join band_keys r on l.band = r.band and l.key = r.key
+  where l.id < r.id
+), verified as (
+  select a, b,
+         len(list_filter(ta.dtoks, t -> list_contains(tb.dtoks, t))) as inter,
+         len(ta.dtoks) as na, len(tb.dtoks) as nb
+  from cand join base ta on cand.a = ta.id join base tb on cand.b = tb.id
+)
+select a, b, round(inter::DOUBLE / (na + nb - inter), 9) as jaccard
+from verified
+where inter::DOUBLE / (na + nb - inter) >= 0.9
+"""
+
+    ngram_sql = f"""
+with t as (
+  select doc_id as id, {_TOKS} as toks from documents
+), s as (
+  select id,
+         case when len(toks) >= 3
+              then list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+              else [] end as sh
+  from t
+), nz as (select id, sh, len(sh) as n_sh from s where len(sh) > 0),
+inv as (select id, unnest(sh) as shingle from nz),
+pi as (
+  select l.id as a, r.id as b, count(*) as inter
+  from inv l join inv r using (shingle)
+  where l.id < r.id
+  group by 1, 2
+), j as (
+  select a, b, inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) as jac
+  from pi join nz sa on pi.a = sa.id join nz sb on pi.b = sb.id
+)
+select a, b, round(jac, 9) as jaccard from j where jac >= 0.1
+"""
+
+    topk_sql = """
+with sims as (
+  select a.vec_id as l_id, b.vec_id as r_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s
+  from embeddings a, embeddings b
+  where a.vec_id <> b.vec_id
+), ranked as (
+  select l_id, r_id, s,
+         row_number() over (partition by l_id order by s desc, r_id asc) as rank
+  from sims
+)
+select l_id, r_id, round(s, 6) as sim, rank from ranked where rank <= 10
+"""
+
+    neardup_sql = """
+select a.vec_id as a, b.vec_id as b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) as cos
+from embeddings a, embeddings b
+where a.vec_id < b.vec_id
+  and list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+    knn_recall_sql = """
+with sims as (
+  select a.vec_id as l_id, b.vec_id as r_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s
+  from embeddings a, embeddings b
+  where a.vec_id <> b.vec_id
+), cand as (
+  select l_id, r_id from (
+    select l_id, r_id, row_number() over (partition by l_id order by s desc, r_id asc) as rank
+    from sims
+  ) where rank <= 10
+), golden as (
+  select a.vec_id as l_id, b.vec_id as r_id
+  from embeddings a, embeddings b
+  where a.label = b.label and a.vec_id <> b.vec_id
+), n as (select count(*)::BIGINT as nn from embeddings)
+select nn as left_num_tuples, nn as right_num_tuples,
+       round((select count(*) from cand join golden using (l_id, r_id))::DOUBLE
+             / (select count(*) from golden), 9) as recall,
+       round((select count(*) from cand)::DOUBLE / (nn * nn), 9) as cssr,
+       (select count(*) from cand)::BIGINT as n_candidates,
+       (select count(*) from golden)::BIGINT as n_golden,
+       (select count(*) from cand join golden using (l_id, r_id))::BIGINT as true_positives
+from n
+"""
+
+    cc_sql = """
+with recursive pairs as (
+  select a.vec_id as a, b.vec_id as b
+  from embeddings a, embeddings b
+  where a.vec_id < b.vec_id
+    and list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+), sym as (
+  select a, b from pairs union select b, a from pairs
+), nodes as (
+  select distinct a as id from sym
+), reach as (
+  select id, id as r from nodes
+  union
+  select reach.id, sym.b as r
+  from reach join sym on reach.r = sym.a
+)
+select id, min(r) as component from reach group by id
+"""
+
+    return {
+        "preprocess_merge": """
+select doc_id,
+       concat_ws(' ', coalesce(cast(text as varchar), ' '),
+                      coalesce(cast(lang as varchar), ' '),
+                      coalesce(cast(source as varchar), ' ')) as merged_text
+from documents
+""",
+        "token_freq": f"""
+select token, count(*)::BIGINT as freq
+from (select unnest({_TOKS}) as token from documents)
+group by token
+""",
+        "sif_weights": f"""
+with f as (
+  select token, count(*)::BIGINT as freq
+  from (select unnest({_TOKS}) as token from documents)
+  group by token
+), tot as (select sum(freq) as t from f)
+select token, freq,
+       round(case when freq >= 0 then 0.001 / (0.001 + freq / t) else 1.0 end, 9) as weight
+from f, tot
+""",
+        "doc_profile": doc_profile_sql,
+        "content_hash_groups": """
+with h as (select doc_id, sha256(text) as content_hash from documents),
+g as (select content_hash, count(*)::BIGINT as group_size from h group by content_hash)
+select doc_id, content_hash, group_size from h join g using (content_hash)
+""",
+        "minhash_sig": f"""
+with t as (select doc_id, list_distinct({_TOKS}) as dtoks from documents)
+select doc_id, {_minhash_cols_sql(8)} from t
+""",
+        "minhash_pairs": minhash_pairs_sql,
+        "ngram_jaccard": ngram_sql,
+        "topk_cosine": topk_sql,
+        "emb_neardup": neardup_sql,
+        "knn_recall": knn_recall_sql,
+        "cc_components": cc_sql,
+        "golden_etl": """
+select o_custkey as ltable_id, o_orderkey as rtable_id
+from orders
+where (o_orderpriority like '1%' or o_orderpriority like '2%' or o_orderpriority like '3%')
+  and o_orderstatus = 'F'
+""",
+        "q1_pricing": """
+select l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
+       count(*)::BIGINT as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02'
+group by l_returnflag, l_linestatus
+""",
+        "mktsegment_orders": """
+select c_mktsegment,
+       count(*)::BIGINT as n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_price
+from orders join customer on o_custkey = c_custkey
+group by c_mktsegment
+""",
+        "events_hourly": """
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+       event_type,
+       count(*)::BIGINT as n_events,
+       cast(sum(cast(value as decimal(18,2))) as double) as sum_value
+from events
+group by 1, 2
+""",
+        "brand_top_parts": """
+select p_brand, p_partkey, round(p_retailprice, 2) as p_retailprice, rnk
+from (
+  select p_brand, p_partkey, p_retailprice,
+         row_number() over (partition by p_brand order by p_retailprice desc, p_partkey asc) as rnk
+  from part
+)
+where rnk <= 3
+""",
+        # lsh_topk_emb / simhash_docs / flagship_blocking: rows-only by design
+    }

@@ -29,8 +29,8 @@ def token_count_col(text: Column | str) -> Column:
 
 def punct_ratio_col(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
-    stripped = F.regexp_replace(c, r"[^\x20-\x7e]", "")
-    punct = F.regexp_replace(c, r"[a-zA-Z0-9\s]", "")
+    # explicit ASCII class (not \s): Java regex and RE2 must agree exactly
+    punct = F.regexp_replace(c, r"[a-zA-Z0-9 \t\n\r\f\x0b]", "")
     return F.when(
         F.length(c) > 0, F.length(punct) / F.length(c)
     ).otherwise(F.lit(0.0))
