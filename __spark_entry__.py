@@ -167,16 +167,20 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # embedding-cosine near-duplicate pairs, JVM-side cosine (zip_with fold)
+    # embedding-cosine near-duplicate pairs via the broadcast-matmul kernel
+    # (a crossJoin + Column-expression cosine computes the same result but
+    # Spark evaluates higher-order array lambdas interpreted per element —
+    # measured ~100x slower; see operators/topk.cosine_threshold_join)
+    from deepblocker_spark.operators.topk import cosine_threshold_join
+
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("a"), _emb_double(F.col("embedding")).alias("ea"))
-    b = emb.select(F.col("vec_id").alias("b"), _emb_double(F.col("embedding")).alias("eb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", cosine_col(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos") >= 0.4)
-        .select("a", "b", F.round("cos", 6).alias("cos"))
+    out = cosine_threshold_join(
+        emb, emb, threshold=0.4, l_id="vec_id", r_id="vec_id",
+        emb_col="embedding", upper_only=True,
+    )
+    return out.select(
+        F.col("l_id").alias("a"), F.col("r_id").alias("b"),
+        F.round("sim", 6).alias("cos"),
     )
 
 

@@ -2,6 +2,14 @@
 transitive-clustering engine with the capabilities of qcri/DeepBlocker
 (reference at /root/reference, studied not ported; see SURVEY.md)."""
 
+import os as _os
+
+# numpy >= 1.18 madvises MADV_HUGEPAGE on large allocations; on some kernels
+# (including this environment) hugepage faulting runs ~300x slower than base
+# pages (measured: 23s vs 0.07s for a 138MB fill). Must be set before numpy
+# is imported anywhere in the process.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+
 from deepblocker_spark.config import BlockerConfig, DEFAULT_CONFIG, TEST_CONFIG
 from deepblocker_spark.pipeline import (
     DeepBlocker,

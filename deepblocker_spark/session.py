@@ -26,6 +26,17 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 
+    # numpy's MADV_HUGEPAGE is pathologically slow on this kernel (see
+    # deepblocker_spark/__init__.py). The JVM must carry the var so its
+    # forked python workers inherit it before they import numpy.
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    # One BLAS thread per python worker: Spark already parallelizes across
+    # workers; letting every worker spin up a full OpenBLAS thread pool
+    # oversubscribes cores quadratically (measured local[32] 2x SLOWER than
+    # local[8] on the matmul-heavy top-K join before this).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -40,6 +51,27 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # Two JVM fixes for this environment, found the hard way:
+        # (1) ReservedCodeCacheSize: the default 48-240MB code cache fills
+        #     under Spark's per-query generated classes, HotSpot then
+        #     DISABLES the JIT ("CodeCache is full. Compiler has been
+        #     disabled") and every stage runs interpreted — the source of
+        #     10-40x run-to-run slowdowns observed while profiling.
+        # (2) TieredStopAtLevel=1 (C1 only): C2 compile storms never
+        #     amortize for short-lived local jobs here (40s -> 3.7s
+        #     first-run for an identical query). Drop on a real cluster.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:TieredStopAtLevel=1 -XX:ReservedCodeCacheSize=512m",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
