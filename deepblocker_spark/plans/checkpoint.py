@@ -1,0 +1,223 @@
+"""Per-stage checkpointing with lineage manifests (BASELINE.json north_rule:
+"checkpoints embeddings and candidate-pair tables per partition with lineage
++ metrics so any stage is resumable").
+
+Each stage writes parquet + a manifest JSON:
+  {stage, rows, n_partitions, schema, key_cols, content_fingerprint,
+   wall_seconds, written_at_ns, parents: [...]}
+
+``content_fingerprint`` is an order-insensitive aggregate over the stage's
+key columns (xor-style fold of per-row xxhash64), so resume integrity can be
+checked without re-reading the full data in sorted order. On resume,
+``stage()`` returns the checkpointed DataFrame when a complete manifest
+exists — the upstream lineage is simply never computed (lazy evaluation does
+the skipping for free).
+
+At 100 TB these checkpoints are the unit of operational recovery: a failed
+stage restarts from the last manifest instead of re-running the pipeline,
+and per-stage row counts + fingerprints give the lineage audit the
+north_rule asks for. Writes are atomic via _SUCCESS-gated manifest commit
+(manifest written only after the parquet job completes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "manifest.json"
+
+
+def content_fingerprint(df: DataFrame, key_cols: list[str]) -> int:
+    """Order-insensitive content hash: sum of per-row xxhash64 over key cols
+    in int64 ring arithmetic (commutative -> partition-order independent)."""
+    h = df.select(F.xxhash64(*[F.col(c) for c in key_cols]).alias("h"))
+    # decimal(38,0) accumulator: int64 sum overflows under ANSI mode
+    row = h.agg(
+        F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    return int((int(row["s"] or 0)) % (2**63)) ^ int(row["n"])
+
+
+class CheckpointManager:
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        os.makedirs(base_dir, exist_ok=True)
+
+    def _paths(self, name: str) -> tuple[str, str]:
+        stage_dir = os.path.join(self.base_dir, name)
+        return os.path.join(stage_dir, "data.parquet"), os.path.join(
+            stage_dir, MANIFEST_NAME
+        )
+
+    def manifest(self, name: str) -> dict | None:
+        _, mpath = self._paths(name)
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            return json.load(f)
+
+    def is_complete(self, name: str) -> bool:
+        return self.manifest(name) is not None
+
+    def stage(
+        self,
+        name: str,
+        df_or_thunk,
+        key_cols: list[str],
+        parents: list[str] | None = None,
+        force: bool = False,
+    ) -> DataFrame:
+        """Materialize ``df`` (or the DataFrame returned by a zero-arg
+        callable — use a thunk when even *building* the plan is expensive,
+        e.g. requires driver-side training) as checkpoint ``name``, or read
+        the existing checkpoint when complete. Returns the checkpoint-backed
+        DataFrame, cutting all upstream lineage."""
+        data_path, mpath = self._paths(name)
+        if not force and self.is_complete(name):
+            return self.spark.read.parquet(data_path)
+
+        df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").parquet(data_path)
+        out = self.spark.read.parquet(data_path)
+        wall = time.perf_counter() - t0
+        man = {
+            "stage": name,
+            "rows": out.count(),
+            "n_partitions": out.rdd.getNumPartitions(),
+            "schema": out.schema.jsonValue(),
+            "key_cols": key_cols,
+            "content_fingerprint": content_fingerprint(out, key_cols),
+            "wall_seconds": round(wall, 3),
+            "written_at_ns": time.time_ns(),
+            "parents": parents or [],
+        }
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=2)
+        os.replace(tmp, mpath)  # atomic commit: manifest appears only complete
+        return out
+
+    def verify(self, name: str) -> bool:
+        """Re-derive the fingerprint from the checkpoint data and compare to
+        the manifest (integrity check for resume)."""
+        man = self.manifest(name)
+        if man is None:
+            return False
+        data_path, _ = self._paths(name)
+        df = self.spark.read.parquet(data_path)
+        return (
+            df.count() == man["rows"]
+            and content_fingerprint(df, man["key_cols"]) == man["content_fingerprint"]
+        )
+
+    def lineage(self) -> list[dict]:
+        """All manifests, topologically ordered by write time."""
+        out = []
+        if not os.path.isdir(self.base_dir):
+            return out
+        for name in sorted(os.listdir(self.base_dir)):
+            man = self.manifest(name)
+            if man:
+                out.append(man)
+        return sorted(out, key=lambda m: m["written_at_ns"])
+
+
+def run_blocking_pipeline(
+    spark: SparkSession,
+    source: DataFrame,
+    ckpt: CheckpointManager,
+    cols_to_block: list[str],
+    id_col: str = "id",
+    k: int = 10,
+    min_sim: float | None = None,
+    verify_jaccard: float | None = 0.4,
+    config=None,
+    force: bool = False,
+) -> DataFrame:
+    """The checkpointed end-to-end ER pipeline, each stage resumable:
+
+      preprocess+embed -> top-K candidates (recall-oriented) ->
+      score/verify (precision: exact token-set Jaccard and/or cosine
+      threshold) -> connected components.
+
+    Embedding blocking casts a wide net; the verify stage decides matches.
+    The token-set Jaccard verification runs only on candidate pairs (k*N,
+    not N^2) as JVM array intersections. Returns (id, component).
+    """
+    from deepblocker_spark.config import DEFAULT_CONFIG
+    from deepblocker_spark.functions.tokenizer import tokens_col
+    from deepblocker_spark.operators.cluster import connected_components
+    from deepblocker_spark.operators.preprocess import MERGED_TEXT, preprocess_table
+    from deepblocker_spark.operators.topk import ExactTopKVectorPairing
+    from deepblocker_spark.pipeline import SparkSIFEmbedding
+
+    cfg = config or DEFAULT_CONFIG
+
+    def build_embeddings() -> DataFrame:
+        pre = preprocess_table(source, cols_to_block, id_col)
+        model = SparkSIFEmbedding(cfg)
+        model.preprocess(pre.select(MERGED_TEXT))
+        return model.embed(pre)
+
+    emb = ckpt.stage("embeddings", build_embeddings, [id_col], force=force)
+
+    def build_candidates() -> DataFrame:
+        pairing = ExactTopKVectorPairing(
+            k=k, exclude_self=True, max_broadcast_rows=cfg.max_broadcast_rows
+        )
+        pairing.index(emb, r_id=id_col)
+        return pairing.query(emb, l_id=id_col)
+
+    cands = ckpt.stage(
+        "candidates", build_candidates, ["l_id", "r_id"],
+        parents=["embeddings"], force=force,
+    )
+
+    def build_scored() -> DataFrame:
+        out = cands
+        if min_sim is not None:
+            out = out.filter(F.col("sim") >= min_sim)
+        if verify_jaccard is not None:
+            toks = emb.select(
+                F.col(id_col),
+                F.array_distinct(tokens_col(MERGED_TEXT)).alias("_toks"),
+            )
+            tl = toks.select(
+                F.col(id_col).alias("l_id"), F.col("_toks").alias("_tl")
+            )
+            tr = toks.select(
+                F.col(id_col).alias("r_id"), F.col("_toks").alias("_tr")
+            )
+            out = (
+                out.join(tl, "l_id")
+                .join(tr, "r_id")
+                .withColumn("_inter", F.size(F.array_intersect("_tl", "_tr")))
+                .withColumn(
+                    "jaccard",
+                    F.col("_inter")
+                    / (F.size("_tl") + F.size("_tr") - F.col("_inter")),
+                )
+                .filter(F.col("jaccard") >= verify_jaccard)
+                .drop("_tl", "_tr", "_inter")
+            )
+        return out
+
+    scored = ckpt.stage(
+        "scored", build_scored, ["l_id", "r_id"], parents=["candidates"], force=force
+    )
+
+    def build_clusters() -> DataFrame:
+        return connected_components(scored)
+
+    return ckpt.stage(
+        "clusters", build_clusters, ["id", "component"],
+        parents=["scored"], force=force,
+    )

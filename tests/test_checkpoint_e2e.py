@@ -1,0 +1,114 @@
+"""Checkpoint/lineage/resume tests + the golden-cluster end-to-end F1 gate
+(BASELINE.json metric: pairwise F1 >= 0.99 on labeled pairs)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from deepblocker_spark.config import BlockerConfig
+from deepblocker_spark.fixtures import repo_file_table
+from deepblocker_spark.operators.cluster import clusters_to_pairs
+from deepblocker_spark.operators.metrics import pairwise_f1
+from deepblocker_spark.plans.checkpoint import CheckpointManager, run_blocking_pipeline
+from deepblocker_spark.sources.repo_files import with_durable_id
+
+CFG = BlockerConfig(emb_dim=64, top_k=10, remove_pc=True)
+
+
+@pytest.fixture(scope="module")
+def repo_df(spark):
+    pdf, golden_idx = repo_file_table(n_clusters=40, max_dups=4, seed=7)
+    df = with_durable_id(spark.createDataFrame(pdf)).persist()
+    df.count()
+    return df, pdf
+
+
+def _golden_pairs(spark, df):
+    """All intra-cluster id pairs from the hidden _cluster column."""
+    ids = df.select("id", "_cluster")
+    l = ids.select(F.col("id").alias("l_id"), F.col("_cluster").alias("ca"))
+    r = ids.select(F.col("id").alias("r_id"), F.col("_cluster").alias("cb"))
+    return (
+        l.join(r, l["ca"] == r["cb"])
+        .filter(F.col("l_id") < F.col("r_id"))
+        .select("l_id", "r_id")
+    )
+
+
+def test_pipeline_end_to_end_f1(spark, repo_df, tmp_path):
+    """north_rule gate: clusters from the pipeline vs constructed golden
+    clusters, pairwise F1 >= 0.99."""
+    df, _ = repo_df
+    ckpt = CheckpointManager(spark, str(tmp_path / "ckpt"))
+    clusters = run_blocking_pipeline(
+        spark, df, ckpt, ["repo", "path", "lang", "content"],
+        id_col="id", k=20, verify_jaccard=0.4, config=CFG,
+    )
+    pred = clusters_to_pairs(clusters).select(
+        F.col("a").alias("l_id"), F.col("b").alias("r_id")
+    )
+    gold = _golden_pairs(spark, df)
+    row = pairwise_f1(pred, gold).collect()[0]
+    assert row["f1"] >= 0.99, dict(row.asDict())
+
+
+def test_checkpoint_resume_identical_and_skips_recompute(spark, repo_df, tmp_path):
+    df, _ = repo_df
+    base = str(tmp_path / "ckpt2")
+    ckpt = CheckpointManager(spark, base)
+    first = run_blocking_pipeline(
+        spark, df, ckpt, ["repo", "path", "lang", "content"], config=CFG, verify_jaccard=0.4
+    ).toPandas()
+
+    # Simulate a crash after the candidates stage: clusters manifest removed.
+    os.remove(os.path.join(base, "clusters", "manifest.json"))
+    ckpt2 = CheckpointManager(spark, base)
+    assert ckpt2.is_complete("embeddings") and ckpt2.is_complete("candidates")
+    assert not ckpt2.is_complete("clusters")
+
+    second = run_blocking_pipeline(
+        spark, df, ckpt2, ["repo", "path", "lang", "content"], config=CFG, verify_jaccard=0.4
+    ).toPandas()
+    key = lambda p: sorted(map(tuple, p[["id", "component"]].values.tolist()))  # noqa: E731
+    assert key(first) == key(second)
+
+
+def test_manifest_contents_and_verify(spark, repo_df, tmp_path):
+    df, _ = repo_df
+    base = str(tmp_path / "ckpt3")
+    ckpt = CheckpointManager(spark, base)
+    run_blocking_pipeline(
+        spark, df, ckpt, ["repo", "path", "lang", "content"], config=CFG, verify_jaccard=0.4
+    )
+    man = ckpt.manifest("candidates")
+    assert man["parents"] == ["embeddings"]
+    assert man["rows"] > 0
+    assert man["key_cols"] == ["l_id", "r_id"]
+    assert ckpt.verify("candidates")
+    assert ckpt.verify("embeddings")
+    lineage = ckpt.lineage()
+    assert [m["stage"] for m in lineage] == ["embeddings", "candidates", "scored", "clusters"]
+    # manifest is valid JSON on disk
+    with open(os.path.join(base, "clusters", "manifest.json")) as f:
+        assert json.load(f)["stage"] == "clusters"
+
+
+def test_content_sha_invariant_through_pipeline(spark, repo_df, tmp_path):
+    """input_hint invariant: per-row content sha256 equality vs the source,
+    checked through the embeddings checkpoint."""
+    df, _ = repo_df
+    ckpt = CheckpointManager(spark, str(tmp_path / "ckpt4"))
+
+    def build():
+        from deepblocker_spark.operators.preprocess import preprocess_table
+
+        pre = preprocess_table(df, ["content"], "id")
+        return pre.join(df.select("id", "content_sha"), "id")
+
+    staged = ckpt.stage("pre_with_sha", build, ["id", "content_sha"])
+    diff = staged.select("id", "content_sha").exceptAll(df.select("id", "content_sha"))
+    assert diff.count() == 0
