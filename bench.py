@@ -144,7 +144,7 @@ def _measure_scaling() -> dict:
     # the engine. 4 and 16 both fit inside effective capacity; best-of-N
     # runs damp the steal-time noise.
     lo, hi = 4, 16
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
     result = {"rows": rows, "cores": [lo, hi]}
     for cores in (lo, hi):
         spark = get_spark(

@@ -36,12 +36,20 @@ def connected_components(
         F.col("a") != F.col("b")
     )
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).dropDuplicates()
-    sym = sym.repartition("a").localCheckpoint()
+    sym = sym.localCheckpoint()
+    # Size the iteration partitioning to the graph: every round shuffles the
+    # label frame, and for small graphs 32 near-empty tasks per round cost
+    # more than the work itself. ~100k edges per partition.
+    n_edges = sym.count()
+    parts = max(4, min(int(sym.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+                       n_edges // 100_000 + 1))
+    sym = sym.repartition(parts, "a").localCheckpoint()
 
     labels = (
         sym.select(F.col("a").alias("id"))
         .dropDuplicates()
         .withColumn("component", F.col("id"))
+        .repartition(parts, "id")
         .localCheckpoint()
     )
 
