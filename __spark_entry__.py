@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from deepblocker_spark.config import BlockerConfig
 from deepblocker_spark.functions.tokenizer import duckdb_tokens_sql, tokens_col
-from deepblocker_spark.operators.ann import brute_force_topk, lsh_topk
+from deepblocker_spark.operators.ann import lsh_topk
 from deepblocker_spark.operators.cluster import connected_components
 from deepblocker_spark.operators.dedup import (
     minhash_lsh_pairs,
@@ -33,7 +33,6 @@ from deepblocker_spark.operators.embed import sif_weights_df, token_frequencies
 from deepblocker_spark.operators.golden import golden_pairs_from_splits
 from deepblocker_spark.operators.metrics import blocking_statistics
 from deepblocker_spark.operators.preprocess import preprocess_table
-from deepblocker_spark.operators.scoring import cosine_col
 from deepblocker_spark.operators.textstats import (
     LANG_MARKERS,
     STOPWORDS_EN,
@@ -300,6 +299,71 @@ def q_brand_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sessionization: gap > 30 min starts a new session (lag + cumsum windows)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sess_seq", F.sum(new_sess).over(w))
+    return (
+        sess.groupBy("user_id", "sess_seq")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", F.col("sess_seq").cast("long").alias("sess_seq"),
+                "session_start", "n_events")
+    )
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-way join + aggregation + global top-N with deterministic tie-break
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.withColumn(
+            "_r", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,2)")
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("_r").alias("_rev"))
+    )
+    j = (
+        orders.join(rev, orders["o_orderkey"] == rev["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    )
+    return (
+        j.select(
+            "o_orderkey", "c_mktsegment", F.col("_rev").cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_emb_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JVM-side array math: L2 norm via transform + aggregate fold
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        _emb_double(F.col("embedding")), F.lit(0.0), lambda a, x: a + x * x
+    )
+    return emb.select("vec_id", F.round(F.sqrt(sq), 6).alias("l2_norm"))
+
+
+def q_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing-lite: min md5 over 3-gram token shingles (NULL if <3 tokens)
+    from deepblocker_spark.operators.textstats import shingle_min_fingerprint_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", shingle_min_fingerprint_col(F.col("text"), 3).alias("shingle_fp")
+    )
+
+
 def q_lsh_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate ANN path (random-hyperplane LSH) — rows-only check by
     # design: hyperplanes come from a seeded PCG64 stream, not SQL-expressible
@@ -341,6 +405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mktsegment_orders": q_mktsegment_orders,
         "events_hourly": q_events_hourly,
         "brand_top_parts": q_brand_top_parts,
+        "user_sessions": q_user_sessions,
+        "top_revenue_orders": q_top_revenue_orders,
+        "emb_norms": q_emb_norms,
+        "shingle_fingerprint": q_shingle_fingerprint,
         "lsh_topk_emb": q_lsh_topk_emb,
         "simhash_docs": q_simhash_docs,
         "flagship_blocking": q_flagship_blocking,
@@ -609,6 +677,55 @@ from (
   from part
 )
 where rnk <= 3
+""",
+        "user_sessions": """
+with e as (
+  select user_id, event_id, ts, epoch(ts)::BIGINT as ep,
+         lag(epoch(ts)::BIGINT) over (partition by user_id order by ts, event_id) as prev_ep
+  from events
+), flagged as (
+  select user_id, event_id, ts,
+         case when prev_ep is null or ep - prev_ep > 1800 then 1 else 0 end as new_sess
+  from e
+), sess as (
+  select user_id, ts,
+         sum(new_sess) over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding and current row) as sess_seq
+  from flagged
+)
+select user_id, sess_seq::BIGINT as sess_seq,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+       count(*)::BIGINT as n_events
+from sess
+group by user_id, sess_seq
+""",
+        "top_revenue_orders": """
+with rev as (
+  select l_orderkey,
+         sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,2))) as r
+  from lineitem group by l_orderkey
+)
+select o_orderkey, c_mktsegment, cast(r as double) as revenue
+from orders join rev on o_orderkey = l_orderkey
+            join customer on o_custkey = c_custkey
+order by revenue desc, o_orderkey asc
+limit 10
+""",
+        "emb_norms": """
+select vec_id,
+       round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 6) as l2_norm
+from embeddings
+""",
+        "shingle_fingerprint": f"""
+with t as (select doc_id, {_TOKS} as toks from documents)
+select doc_id,
+       case when len(toks) >= 3
+            then list_min(list_transform(
+                   list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                i -> array_to_string(list_slice(toks, i, i + 2), ' '))),
+                   s -> md5(s)))
+            else null end as shingle_fp
+from t
 """,
         # lsh_topk_emb / simhash_docs / flagship_blocking: rows-only by design
     }

@@ -9,7 +9,7 @@ and checkpoints can carry it.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import asdict, dataclass
 
 
 @dataclass(frozen=True)

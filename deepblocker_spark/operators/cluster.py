@@ -75,7 +75,8 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        parent = labels.select(
+        # true pointer jumping: chase through the freshly-propagated labels
+        parent = propagated.select(
             F.col("id").alias("p_id"), F.col("component").alias("p_comp")
         )
         jumped = (

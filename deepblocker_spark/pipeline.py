@@ -19,7 +19,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from deepblocker_spark.config import BlockerConfig, DEFAULT_CONFIG
-from deepblocker_spark.functions.wordvec import get_provider
 from deepblocker_spark.operators import embed as E
 from deepblocker_spark.operators import encoders as enc
 from deepblocker_spark.operators.preprocess import (

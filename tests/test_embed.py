@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 
 from deepblocker_spark.functions.tokenizer import basic_english_tokenize
-from deepblocker_spark.functions.wordvec import HashWordVectors, get_provider
+from deepblocker_spark.functions.wordvec import HashWordVectors
 from deepblocker_spark.operators.embed import (
     EMBEDDING,
     N_TOKENS,
