@@ -364,6 +364,50 @@ def q_shingle_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-level aggregation: ROLLUP(mktsegment, orderstatus)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    return (
+        j.rollup("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+def q_custkey_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # set operators: INTERSECT / EXCEPT (distinct semantics)
+    orders = _t(spark, sf_dir, "orders")
+    by_status = lambda s: orders.filter(F.col("o_orderstatus") == s).select("o_custkey")  # noqa: E731
+    return by_status("F").intersect(by_status("O")).exceptAll(
+        by_status("P").distinct()
+    ).distinct()
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # JSON extraction from the events props column
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k_val"),
+    )
+
+
+def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # date functions: month bucketing + aggregation
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
 def q_lsh_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate ANN path (random-hyperplane LSH) — rows-only check by
     # design: hyperplanes come from a seeded PCG64 stream, not SQL-expressible
@@ -409,6 +453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "emb_norms": q_emb_norms,
         "shingle_fingerprint": q_shingle_fingerprint,
+        "rollup_orders": q_rollup_orders,
+        "custkey_setops": q_custkey_setops,
+        "json_props": q_json_props,
+        "monthly_orders": q_monthly_orders,
         "lsh_topk_emb": q_lsh_topk_emb,
         "simhash_docs": q_simhash_docs,
         "flagship_blocking": q_flagship_blocking,
@@ -726,6 +774,30 @@ select doc_id,
                    s -> md5(s)))
             else null end as shingle_fp
 from t
+""",
+        "rollup_orders": """
+select c_mktsegment, o_orderstatus,
+       count(*)::BIGINT as n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_price
+from orders join customer on o_custkey = c_custkey
+group by rollup (c_mktsegment, o_orderstatus)
+""",
+        "custkey_setops": """
+select distinct o_custkey from orders where o_orderstatus = 'F'
+intersect
+select distinct o_custkey from orders where o_orderstatus = 'O'
+except
+select distinct o_custkey from orders where o_orderstatus = 'P'
+""",
+        "json_props": """
+select event_id, json_extract_string(props, '$.k')::BIGINT as k_val from events
+""",
+        "monthly_orders": """
+select strftime(o_orderdate, '%Y-%m') as month,
+       count(*)::BIGINT as n_orders,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) as total_price
+from orders
+group by 1
 """,
         # lsh_topk_emb / simhash_docs / flagship_blocking: rows-only by design
     }

@@ -163,9 +163,93 @@ def lsh_candidates(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_candidates_dyadic(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str = "id",
+    r_id: str = "id",
+    emb_col: str = EMBEDDING,
+    dim: int = 300,
+    k: int = 50,
+    n_bands: int = 8,
+    band_bits: int = 12,
+    seed: int = 1234,
+    max_bucket_rows: int = 5_000,
+    min_sim: float | None = None,
+) -> DataFrame:
+    """Dyadic (left-vs-right) LSH candidate generation — the scale path for
+    the reference's two-table blocking. Both sides get signatures from the
+    SAME seeded hyperplanes (a must: bucket keys are only comparable under
+    identical planes); the shuffle co-locates each (band, bucket) group with
+    a side marker, and the per-bucket kernel computes left x right cosine
+    blocks. Global per-left top-K via window merge.
+    """
+    l_sigs = signature_buckets(left, l_id, emb_col, dim, n_bands, band_bits, seed)
+    r_sigs = signature_buckets(right, r_id, emb_col, dim, n_bands, band_bits, seed)
+    l_rows = (
+        l_sigs.join(left.select(l_id, emb_col), l_id)
+        .select(
+            F.col(l_id).alias("_id"), "band", "bucket",
+            F.col(emb_col).alias("_emb"), F.lit(0).alias("_side"),
+        )
+    )
+    r_rows = (
+        r_sigs.join(right.select(r_id, emb_col), r_id)
+        .select(
+            F.col(r_id).alias("_id"), "band", "bucket",
+            F.col(emb_col).alias("_emb"), F.lit(1).alias("_side"),
+        )
+    )
+    both = l_rows.unionByName(r_rows)
+
+    l_type = left.select(l_id).schema.fields[0].dataType
+    r_type = right.select(r_id).schema.fields[0].dataType
+    pair_schema = StructType(
+        [
+            StructField("l_id", l_type, True),
+            StructField("r_id", r_type, True),
+            StructField("sim", DoubleType(), False),
+        ]
+    )
+
+    def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpart = pdf[pdf["_side"] == 0]
+        rpart = pdf[pdf["_side"] == 1]
+        if not len(lpart) or not len(rpart):
+            return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
+        if len(lpart) > max_bucket_rows:
+            lpart = lpart.sort_values("_id").head(max_bucket_rows)
+        if len(rpart) > max_bucket_rows:
+            rpart = rpart.sort_values("_id").head(max_bucket_rows)
+        lids = lpart["_id"].to_numpy()
+        rids = rpart["_id"].to_numpy()
+        lx = normalize_rows(np.nan_to_num(np.stack(lpart["_emb"].to_numpy()).astype(np.float64)))
+        rx = normalize_rows(np.nan_to_num(np.stack(rpart["_emb"].to_numpy()).astype(np.float64)))
+        sims = lx @ rx.T
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] if kk < sims.shape[1] \
+            else np.broadcast_to(np.arange(sims.shape[1]), sims.shape).copy()
+        rows = np.repeat(np.arange(len(lids)), part.shape[1])
+        cols = part.ravel()
+        return pd.DataFrame(
+            {"l_id": lids[rows], "r_id": rids[cols], "sim": sims[rows, cols]}
+        )
+
+    pairs = (
+        both.groupBy("band", "bucket")
+        .applyInPandas(per_bucket, pair_schema)
+        .dropDuplicates(["l_id", "r_id"])
+    )
+    if min_sim is not None:
+        pairs = pairs.filter(F.col("sim") >= min_sim)
+    w = Window.partitionBy("l_id").orderBy(F.desc("sim"), F.asc("r_id"))
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 class LSHVectorPairing:
-    """Drop-in approximate alternative to ExactTopKVectorPairing for the
-    self-dedup path: same index/query seam, LSH-bucketed execution."""
+    """Drop-in approximate alternative to ExactTopKVectorPairing: same
+    index/query seam, LSH-bucketed execution. Self-join mode when query is
+    called with the indexed DataFrame itself; dyadic mode otherwise."""
 
     def __init__(self, k: int = 50, dim: int = 300, n_bands: int = 8,
                  band_bits: int = 12, seed: int = 1234,
@@ -180,7 +264,14 @@ class LSHVectorPairing:
         return self
 
     def query(self, left: DataFrame, l_id: str = "id", emb_col: str | None = None) -> DataFrame:
-        return lsh_candidates(
-            self._right, self._r_id, emb_col or self._emb, self.dim, self.k,
-            self.n_bands, self.band_bits, self.seed, self.max_bucket_rows, self.min_sim,
+        if left is self._right:
+            return lsh_candidates(
+                self._right, self._r_id, emb_col or self._emb, self.dim, self.k,
+                self.n_bands, self.band_bits, self.seed, self.max_bucket_rows,
+                self.min_sim,
+            )
+        return lsh_candidates_dyadic(
+            left, self._right, l_id, self._r_id, emb_col or self._emb, self.dim,
+            self.k, self.n_bands, self.band_bits, self.seed, self.max_bucket_rows,
+            self.min_sim,
         )

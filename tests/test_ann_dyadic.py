@@ -1,0 +1,58 @@
+"""Dyadic LSH and IVF ANN tests: recall vs the exact oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from deepblocker_spark.operators.ann import brute_force_topk, ivf_topk, recall_at_k
+from deepblocker_spark.operators.lsh import LSHVectorPairing, lsh_candidates_dyadic
+from deepblocker_spark.operators.topk import exact_topk_join
+
+DIM = 16
+
+
+def _clustered(spark, n_clusters, per_cluster, seed, id_start=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, DIM))
+    rows, ids = [], []
+    i = id_start
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            rows.append((centers[c] + rng.normal(scale=0.05, size=DIM)).astype(np.float32))
+            ids.append(i)
+            i += 1
+    return spark.createDataFrame(pd.DataFrame({"id": ids, "embedding": rows}))
+
+
+def test_dyadic_lsh_recall_vs_exact(spark):
+    left = _clustered(spark, 10, 4, seed=21)
+    right = _clustered(spark, 10, 4, seed=21, id_start=1000)  # same centers
+    exact = exact_topk_join(left, right, k=3)
+    approx = lsh_candidates_dyadic(
+        left, right, dim=DIM, k=3, n_bands=6, band_bits=5, seed=5
+    )
+    r = recall_at_k(approx, exact).collect()[0]
+    assert r["recall_at_k"] >= 0.85, r
+
+
+def test_lsh_pairing_dispatches_dyadic(spark):
+    left = _clustered(spark, 6, 3, seed=22)
+    right = _clustered(spark, 6, 3, seed=22, id_start=500)
+    pairing = LSHVectorPairing(k=3, dim=DIM, n_bands=6, band_bits=5)
+    pairing.index(right)
+    out = pairing.query(left).toPandas()
+    assert (out["l_id"] < 500).all()
+    assert (out["r_id"] >= 500).all()
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    df = _clustered(spark, 12, 5, seed=23)
+    exact = brute_force_topk(df, k=4, id_col="id", emb_col="embedding")
+    approx = ivf_topk(df, k=4, id_col="id", emb_col="embedding", dim=DIM,
+                      n_cells=8, nprobe=3, seed=9)
+    r = recall_at_k(approx, exact).collect()[0]
+    assert r["recall_at_k"] >= 0.9, r
+    pdf = approx.toPandas()
+    assert (pdf["l_id"] != pdf["r_id"]).all()
+    assert pdf.groupby("l_id")["rank"].max().max() <= 4
