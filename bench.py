@@ -144,26 +144,45 @@ def _measure_scaling() -> dict:
     # the engine. 4 and 16 both fit inside effective capacity; best-of-N
     # runs damp the steal-time noise.
     lo, hi = 4, 16
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     result = {"rows": rows, "cores": [lo, hi]}
     for cores in (lo, hi):
-        spark = get_spark(
-            f"bench-scaling-{cores}", master=f"local[{cores}]",
-            shuffle_partitions=64, arrow_max_records=10_000,
+        # each level runs in a fresh subprocess: the py4j gateway JVM is
+        # shared across sessions within one python process, so stacked
+        # sessions accumulate heap and occasionally kill python workers
+        import subprocess
+
+        script = (
+            "import sys, time, json; sys.path.insert(0, %r)\n"
+            "from deepblocker_spark.session import get_spark\n"
+            "from bench import _scaling_job\n"
+            "spark = get_spark('bench-scaling-%d', master='local[%d]',\n"
+            "                  shuffle_partitions=64, arrow_max_records=10_000)\n"
+            "_scaling_job(spark, %r, limit=200)\n"
+            "best = None; n = 0\n"
+            "for _ in range(%d):\n"
+            "    t0 = time.perf_counter(); n = _scaling_job(spark, %r)\n"
+            "    dt = time.perf_counter() - t0\n"
+            "    best = dt if best is None else min(best, dt)\n"
+            "spark.stop()\n"
+            "print(json.dumps({'best': best, 'pairs': n}))\n"
+        ) % (os.path.dirname(os.path.abspath(__file__)), cores, cores,
+             parquet_path, repeats, parquet_path)
+        proc = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=900,
         )
-        try:
-            _scaling_job(spark, parquet_path, limit=200)  # warm-up: JIT, Arrow
-            best, n = None, 0
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                n = _scaling_job(spark, parquet_path)
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-        finally:
-            spark.stop()
+        if proc.returncode != 0:
+            print(f"# scaling local[{cores}] FAILED: {proc.stderr[-500:]}", file=sys.stderr)
+            result[f"local{cores}_seconds"] = None
+            continue
+        payload = json.loads(proc.stdout.strip().splitlines()[-1])
+        best, n = payload["best"], payload["pairs"]
         result[f"local{cores}_seconds"] = round(best, 3)
         result[f"local{cores}_rows_per_sec"] = round(rows / best, 1)
         print(f"# scaling local[{cores}]: {best:.2f}s ({n} pairs)", file=sys.stderr)
+    if not (result.get(f"local{lo}_seconds") and result.get(f"local{hi}_seconds")):
+        return result
     speedup = result[f"local{lo}_seconds"] / result[f"local{hi}_seconds"]
     result["speedup"] = round(speedup, 3)
     result["efficiency"] = round(speedup / (hi / lo), 3)

@@ -103,6 +103,24 @@ def test_ctt_paper_mode_changes_dimension(spark):
     assert len(emb[0]["embedding"]) == cfg.ae_emb_dim
 
 
+def test_block_datasets_hybrid_runs(spark):
+    left, right = _dyadic_tables(spark, n=10)
+    from deepblocker_spark.pipeline import SparkHybridEmbedding
+
+    blocker = DeepBlocker(
+        SparkHybridEmbedding(TEST_CONFIG, mode="paper"),
+        ExactTopKVectorPairing(k=3),
+        TEST_CONFIG,
+    )
+    cands = blocker.block_datasets(left, right, ["title", "manufacturer"])
+    assert cands.count() == 10 * 3
+    # paper mode applies the summarizer over the AE embedding -> ae_emb_dim
+    from deepblocker_spark.operators.preprocess import preprocess_table
+
+    emb = blocker.embedding.embed(preprocess_table(left, ["title"])).select("embedding").first()
+    assert len(emb["embedding"]) == TEST_CONFIG.ae_emb_dim
+
+
 def test_block_self_excludes_self_pairs(spark):
     left, _ = _dyadic_tables(spark, n=15)
     blocker = DeepBlocker(SparkSIFEmbedding(TEST_CONFIG), ExactTopKVectorPairing(k=3), TEST_CONFIG)
