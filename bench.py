@@ -189,6 +189,33 @@ def _measure_scaling() -> dict:
     return result
 
 
+def _single_node_flagship() -> float:
+    """Time the faithful single-node (pandas/numpy) implementation of the
+    flagship pipeline on the same sf documents — the match-or-beat baseline
+    standing in for the reference (whose torch/fasttext deps are absent;
+    tests/oracle.py implements the same cited formulas)."""
+    import duckdb
+    import numpy as np
+
+    from tests.oracle import oracle_sif_embed, oracle_sif_weights
+
+    texts = duckdb.sql(
+        f"select concat_ws(' ', coalesce(text,' '), coalesce(lang,' '), coalesce(source,' ')) t, "
+        f"doc_id from '{SF_DIR}/documents.parquet' order by doc_id"
+    ).fetchdf()
+    t0 = time.perf_counter()
+    weights = oracle_sif_weights(list(texts["t"]))
+    emb = oracle_sif_embed(list(texts["t"]), 64, weights)
+    # top-K exactly as the reference does it: full cosine matrix + per-row
+    # argsort truncated to K (vector_pairing_models.py:36-49)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True)
+    x = emb / np.maximum(norms, 1e-30)
+    sims = x @ x.T
+    np.fill_diagonal(sims, -np.inf)
+    np.argsort(-sims, axis=1)[:, :5]
+    return round(time.perf_counter() - t0, 3)
+
+
 def main():
     from deepblocker_spark.session import get_spark
 
@@ -207,6 +234,10 @@ def main():
         "sf": SF_DIR,
         "wall_seconds": round(time.perf_counter() - t_suite0, 3),
     }
+    try:
+        out["single_node_flagship_seconds"] = _single_node_flagship()
+    except Exception as e:  # baseline is informational; never fail the bench
+        out["single_node_flagship_error"] = str(e)[:200]
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         out["scaling"] = _measure_scaling()
     print(json.dumps(out))

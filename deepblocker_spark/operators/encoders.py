@@ -236,6 +236,42 @@ def apply_mlp(df: DataFrame, layers: list[tuple[np.ndarray, np.ndarray, bool]],
 
 
 # ---------------------------------------------------------------------------
+# O33 — model persistence (reference: torch.save(state_dict),
+# dl_models.py:107-113,179-185; here: numpy .npz of the parameter dict).
+# Part of the checkpoint/lineage story: a resumed run reloads encoder
+# weights instead of retraining.
+# ---------------------------------------------------------------------------
+
+def save_model(model, path: str) -> None:
+    np.savez(path, **model.p)
+
+
+def load_autoencoder(path: str, input_dim: int, hidden_dims: tuple[int, int]) -> "NumpyAutoEncoder":
+    m = NumpyAutoEncoder(input_dim, hidden_dims)
+    _load_params(m, path)
+    return m
+
+
+def load_ctt(path: str, input_dim: int, hidden_dims: tuple[int, int]) -> "NumpyCTTModel":
+    m = NumpyCTTModel(input_dim, hidden_dims)
+    _load_params(m, path)
+    return m
+
+
+def _load_params(model, path: str) -> None:
+    data = np.load(path)
+    missing = set(model.p) - set(data.files)
+    if missing:
+        raise ValueError(f"checkpoint at {path} missing parameters {sorted(missing)}")
+    for k in model.p:
+        if model.p[k].shape != data[k].shape:
+            raise ValueError(
+                f"shape mismatch for {k}: model {model.p[k].shape} vs saved {data[k].shape}"
+            )
+        model.p[k] = data[k].copy()
+
+
+# ---------------------------------------------------------------------------
 # O19 — synthetic training pairs (driver-side, seeded; the reference seeds
 # python's RNG at tuple_embedding_models.py:201 via RANDOM_SEED=1234)
 # ---------------------------------------------------------------------------

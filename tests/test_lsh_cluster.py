@@ -71,24 +71,43 @@ def test_lsh_recall_vs_exact_oracle(spark):
     assert r["recall_at_k"] >= 0.9
 
 
-def test_connected_components_basic(spark):
+@pytest.mark.parametrize("threshold", [2_000_000, 0], ids=["driver-uf", "distributed"])
+def test_connected_components_basic(spark, threshold):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (5, 6), (7, 7), (8, 9), (9, 10), (10, 8)],
         ["l_id", "r_id"],
     )
-    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, driver_threshold=threshold).collect()
+    }
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[5] == comp[6] == 5
     assert comp[8] == comp[9] == comp[10] == 8
     assert 7 not in comp  # self-loop only: no edge -> not in any component
 
 
-def test_connected_components_chain(spark):
+@pytest.mark.parametrize("threshold", [2_000_000, 0], ids=["driver-uf", "distributed"])
+def test_connected_components_chain(spark, threshold):
     # long chain forces multiple propagation rounds
     edges = spark.createDataFrame([(i, i + 1) for i in range(12)], ["l_id", "r_id"])
-    comp = connected_components(edges).toPandas()
+    comp = connected_components(edges, driver_threshold=threshold).toPandas()
     assert set(comp["component"]) == {0}
     assert len(comp) == 13
+
+
+def test_connected_components_paths_agree(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in rng.integers(0, 200, size=(300, 2)) if a != b],
+        ["l_id", "r_id"],
+    )
+    fast = connected_components(edges).toPandas()
+    dist = connected_components(edges, driver_threshold=0).toPandas()
+    key = lambda p: sorted(map(tuple, p[["id", "component"]].values.tolist()))  # noqa: E731
+    assert key(fast) == key(dist)
 
 
 def test_clusters_to_pairs(spark):

@@ -1,0 +1,70 @@
+"""Model persistence (O33) and CSV source parity (O1/O2) tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deepblocker_spark.operators.encoders import (
+    NumpyAutoEncoder,
+    NumpyCTTModel,
+    load_autoencoder,
+    load_ctt,
+    save_model,
+)
+from deepblocker_spark.operators.preprocess import MERGED_TEXT, preprocess_table
+
+
+def test_autoencoder_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    ae = NumpyAutoEncoder(12, (8, 4), seed=1)
+    ae.train(rng.normal(size=(50, 12)), num_epochs=3, batch_size=16)
+    path = str(tmp_path / "ae.npz")
+    save_model(ae, path)
+    loaded = load_autoencoder(path, 12, (8, 4))
+    x = rng.normal(size=(7, 12))
+    np.testing.assert_array_equal(ae.encode(x), loaded.encode(x))
+
+
+def test_ctt_save_load_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    m = NumpyCTTModel(12, (8, 4), seed=2)
+    m.train(rng.normal(size=(40, 12)), rng.normal(size=(40, 12)),
+            rng.integers(0, 2, size=40), num_epochs=3, batch_size=16)
+    path = str(tmp_path / "ctt.npz")
+    save_model(m, path)
+    loaded = load_ctt(path, 12, (8, 4))
+    x = rng.normal(size=(5, 12))
+    np.testing.assert_array_equal(m.summarize(x), loaded.summarize(x))
+
+
+def test_load_shape_mismatch_raises(tmp_path):
+    ae = NumpyAutoEncoder(12, (8, 4), seed=3)
+    path = str(tmp_path / "ae.npz")
+    save_model(ae, path)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_autoencoder(path, 16, (8, 4))
+
+
+def test_csv_source_parity(spark, tmp_path):
+    """Reference input format (main.py:14-15): CSV with header. The same
+    preprocess semantics must hold when reading CSV instead of parquet —
+    including nulls (empty CSV fields) -> ' ' -> never 'nan'."""
+    csv_path = str(tmp_path / "tableA.csv")
+    with open(csv_path, "w") as f:
+        f.write("id,title,manufacturer,price\n")
+        f.write('1,"Apple iPhone",Apple,999.0\n')
+        f.write("2,,Samsung,\n")
+        f.write('3,"Pixel 9",,599.5\n')
+    df = spark.read.csv(csv_path, header=True, inferSchema=True)
+    out = {r["id"]: r[MERGED_TEXT] for r in
+           preprocess_table(df, ["title", "manufacturer", "price"]).collect()}
+    assert out[1] == "Apple iPhone Apple 999.0"
+    assert out[2] == "  Samsung  "
+    assert out[3] == "Pixel 9   599.5"
+    # CSV sink roundtrip (O2): candidates written and re-read losslessly
+    cands = spark.createDataFrame([(1, 2, 0.9)], ["l_id", "r_id", "sim"])
+    sink = str(tmp_path / "cands_csv")
+    cands.write.mode("overwrite").csv(sink, header=True)
+    back = spark.read.csv(sink, header=True, inferSchema=True)
+    assert [tuple(r) for r in back.collect()] == [(1, 2, 0.9)]
