@@ -115,10 +115,30 @@ def lsh_candidates(
     """Self-join candidate generation: -> (l_id, r_id, sim, rank), rank<=k
     per l_id, l_id != r_id, deterministic (sim desc, r_id asc) tie-break.
 
-    Oversized buckets are truncated to ``max_bucket_rows`` rows ordered by
-    id (deterministic); use ``bucket_stats`` to quantify truncation.
+    Buckets larger than ``max_bucket_rows`` are deterministically salt-split
+    so no task's cross-product exceeds max_bucket_rows^2; use
+    ``bucket_stats`` to monitor the size distribution.
     """
     sigs = signature_buckets(df, id_col, emb_col, dim, n_bands, band_bits, seed)
+    # Skew handling: oversized (hot) buckets are SALT-SPLIT, not truncated —
+    # rows in a bucket bigger than max_bucket_rows get a deterministic
+    # sub-bucket salt (xxhash64(id) % n_splits), bounding every task's
+    # cross-product. Pairs spanning two splits of the same mega-bucket are
+    # only lost if the pair also collides in no other band — the standard
+    # multi-band recall argument applies. Cold buckets keep salt 0.
+    sizes = bucket_stats(sigs)
+    sigs = (
+        sigs.join(sizes, ["band", "bucket"])
+        .withColumn(
+            "_splits",
+            F.greatest(F.ceil(F.col("size") / F.lit(max_bucket_rows)), F.lit(1)),
+        )
+        .withColumn(
+            "salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_splits")).cast("int"),
+        )
+        .drop("size", "_splits")
+    )
     joined = sigs.join(df.select(id_col, emb_col), id_col)
 
     id_type = df.select(id_col).schema.fields[0].dataType
@@ -133,8 +153,6 @@ def lsh_candidates(
     def per_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
-        if len(pdf) > max_bucket_rows:
-            pdf = pdf.sort_values(id_col).head(max_bucket_rows)
         ids = pdf[id_col].to_numpy()
         x = normalize_rows(
             np.nan_to_num(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
@@ -153,7 +171,7 @@ def lsh_candidates(
         return pd.DataFrame({"l_id": ids[rows], "r_id": ids[cols], "sim": s})
 
     pairs = (
-        joined.groupBy("band", "bucket")
+        joined.groupBy("band", "bucket", "salt")
         .applyInPandas(per_bucket, pair_schema)
         .dropDuplicates(["l_id", "r_id"])
     )
