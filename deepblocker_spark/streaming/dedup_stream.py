@@ -39,6 +39,94 @@ def streaming_exact_dedup(
     )
 
 
+def stateful_sessionizer(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: int = 1800,
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-key session tracking with a gap rule. Emits a row per CLOSED session
+    (closed by a later event beyond the gap, or by state timeout). This is
+    the pattern for stateful logic Spark's built-ins can't express —
+    arbitrary per-key state carried across micro-batches, with timeouts
+    bounding state size.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_epoch", DoubleType()),
+            StructField("session_end_epoch", DoubleType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_epoch", DoubleType()),
+            StructField("last_epoch", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n = state.get
+                closed.append((user_id, s, e, n))
+                state.remove()
+        else:
+            events = pd.concat(list(pdfs))
+            epochs = (
+                events[ts_col].astype("datetime64[us]").astype("int64") / 1e6
+            ).sort_values()
+            if state.exists:
+                s, e, n = state.get
+            else:
+                s = e = None
+                n = 0
+            for ep in epochs:
+                if s is None:
+                    s = e = float(ep)
+                    n = 1
+                elif ep - e > gap_seconds:
+                    closed.append((user_id, s, e, n))
+                    s = e = float(ep)
+                    n = 1
+                else:
+                    e = float(ep)
+                    n += 1
+            state.update((s, e, n))
+            state.setTimeoutDuration(state_timeout_ms)
+        import pandas as pd  # noqa: F811 — worker-side import
+
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start_epoch", "session_end_epoch", "n_events"],
+        )
+
+    return (
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "ts",

@@ -57,6 +57,16 @@ def test_output_schema_is_id_plus_merged_text(spark):
     assert out.columns == ["id", MERGED_TEXT]
 
 
+def test_iceberg_format_errors_clearly(spark):
+    """No Iceberg runtime jar in this sandbox: the source must fail with an
+    actionable error, not a silent fallback."""
+    from deepblocker_spark.sources.repo_files import load_repo_table
+
+    with pytest.raises(Exception) as exc:
+        load_repo_table(spark, "db.some_table", fmt="iceberg")
+    assert "iceberg" in str(exc.value).lower()
+
+
 def test_corpus_union_counts(spark):
     left = preprocess_table(_table(spark), ["title"])
     right = preprocess_table(_table(spark), ["manufacturer"])
