@@ -84,6 +84,34 @@ def sif_weights_df(
     )
 
 
+def collect_sif_weights_fast(
+    freq: DataFrame,
+    a: float = 1e-3,
+    min_freq: int = 0,
+    max_vocab: int = 1_000_000,
+) -> dict[str, float]:
+    """Driver-side weight map from a (cached) frequency table in two cheap
+    jobs on the tiny vocab frame: global total + capped collect. The weight
+    formula (tuple_embedding_models.py:113-119) is applied on the driver —
+    identical arithmetic to sif_weights_df, minus a corpus rescan and a
+    cross join."""
+    total = freq.agg(F.sum("freq").alias("t")).collect()[0]["t"] or 0
+    rows = freq.select("token", "freq").limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        rows = (
+            freq.orderBy(F.desc("freq"), F.asc("token"))
+            .limit(max_vocab)
+            .select("token", "freq")
+            .collect()
+        )
+    return {
+        r["token"]: (
+            a / (a + r["freq"] / total) if r["freq"] >= min_freq else 1.0
+        )
+        for r in rows
+    }
+
+
 def collect_sif_weights(
     weights: DataFrame,
     max_vocab: int = 1_000_000,

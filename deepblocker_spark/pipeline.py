@@ -76,9 +76,20 @@ class SparkSIFEmbedding:
         self.weights: dict[str, float] | None = None
 
     def preprocess(self, corpus: DataFrame, text_col: str = MERGED_TEXT) -> None:
-        freq = E.token_frequencies(corpus, text_col)
-        w = E.sif_weights_df(freq, self.cfg.sif_weighting_param, self.cfg.sif_min_freq)
-        self.weights = E.collect_sif_weights(w, self.cfg.sif_max_vocab_broadcast)
+        # One corpus scan: the frequency table is tiny (vocab-sized), so it
+        # is cached and both the global total and the weight map derive from
+        # it without re-reading the corpus (sif_weights_df's total-join form
+        # stays as the oracle-checkable relational variant).
+        freq = E.token_frequencies(corpus, text_col).persist()
+        try:
+            self.weights = E.collect_sif_weights_fast(
+                freq,
+                self.cfg.sif_weighting_param,
+                self.cfg.sif_min_freq,
+                self.cfg.sif_max_vocab_broadcast,
+            )
+        finally:
+            freq.unpersist()
 
     def embed(self, df: DataFrame, text_col: str = MERGED_TEXT) -> DataFrame:
         if self.weights is None:
