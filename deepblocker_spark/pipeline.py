@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from deepblocker_spark.config import BlockerConfig, DEFAULT_CONFIG
 from deepblocker_spark.operators import embed as E
@@ -103,10 +104,26 @@ class SparkSIFEmbedding:
 
 
 def _sample_texts(corpus: DataFrame, cap: int, text_col: str = MERGED_TEXT) -> list[str]:
-    """Deterministic bounded sample for driver-side training: first `cap`
-    rows ordered by text (content-defined, partition-order-independent)."""
-    rows = corpus.select(text_col).orderBy(text_col).limit(cap).collect()
-    return [r[0] for r in rows]
+    """Deterministic bounded sample for driver-side training, content-
+    defined (xxhash64 of the text) so it is partition-order-independent.
+
+    Replaces round 1's ``orderBy(text).limit(cap)``: at 100 TB that ordered
+    every merged-text row to pick 50k training rows (VERDICT r1 #4). Here a
+    hash filter keeps ~2*cap survivors at pure scan cost, and only that
+    small survivor set is ordered (by hash, then text for duplicate-text
+    ties) to pick exactly ``cap`` — the corpus itself is never sorted."""
+    n = corpus.select(text_col).count()
+    if n == 0:
+        return []
+    p = max(1, n // max(1, 2 * cap))
+    rows = (
+        corpus.select(F.col(text_col).alias("_t"), F.xxhash64(text_col).alias("_h"))
+        .filter(F.pmod(F.col("_h"), F.lit(p)) == 0)
+        .orderBy("_h", "_t")
+        .limit(cap)
+        .collect()
+    )
+    return [r["_t"] for r in rows]
 
 
 class SparkAutoEncoderEmbedding:
