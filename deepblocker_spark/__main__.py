@@ -25,6 +25,12 @@ def main(argv: list[str] | None = None) -> int:
                    help="comma-separated cols_to_block")
     p.add_argument("--id-col", default="id")
     p.add_argument("--k", type=int, default=50)
+    p.add_argument("--pairing", default="auto",
+                   choices=["auto", "exact", "lsh", "ivf"],
+                   help="candidate generator: auto = exact below "
+                        "pairing_lsh_threshold_rows, LSH above (scale path)")
+    p.add_argument("--lsh-threshold-rows", type=int, default=100_000,
+                   help="auto mode switches exact->lsh above this row count")
     p.add_argument("--min-sim", type=float, default=None)
     p.add_argument("--verify-jaccard", type=float, default=0.4)
     p.add_argument("--emb-dim", type=int, default=300)
@@ -40,12 +46,15 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("deepblocker-pipeline", master=args.master)
     try:
         src = load_repo_table(spark, args.input, fmt=args.format)
-        cfg = BlockerConfig(emb_dim=args.emb_dim, top_k=args.k)
+        cfg = BlockerConfig(
+            emb_dim=args.emb_dim, top_k=args.k,
+            pairing_lsh_threshold_rows=args.lsh_threshold_rows,
+        )
         ckpt = CheckpointManager(spark, args.checkpoint_dir)
         clusters = run_blocking_pipeline(
             spark, src, ckpt, args.cols.split(","), id_col=args.id_col,
             k=args.k, min_sim=args.min_sim, verify_jaccard=args.verify_jaccard,
-            config=cfg, force=args.force,
+            config=cfg, force=args.force, pairing=args.pairing,
         )
         clusters.write.mode("overwrite").parquet(args.output)
         summary = {

@@ -46,6 +46,16 @@ class BlockerConfig:
     # Embedding-row policy for token-less rows: 'zero' (safe default) or
     # 'nan' (strict parity with tuple_embedding_models.py:65,130).
     empty_row_policy: str = "zero"
+    # Candidate-pairing knobs for the checkpointed pipeline: 'auto' picks
+    # exact top-K below pairing_lsh_threshold_rows (driver-broadcast is fine
+    # there) and LSH-bucketed generation above it — the path whose shuffle
+    # stays bounded at any scale.
+    pairing_lsh_threshold_rows: int = 100_000
+    lsh_n_bands: int = 8
+    lsh_band_bits: int = 12
+    lsh_max_bucket_rows: int = 5_000
+    ivf_n_cells: int = 64
+    ivf_nprobe: int = 8
     # CTT/Hybrid inference mode: 'as_written' reproduces the reference quirk
     # (tuple_embedding_models.py:271-273 returns the aggregator embedding and
     # never applies the trained ctt model); 'paper' applies the trained

@@ -22,6 +22,7 @@ north_rule asks for. Writes are atomic via _SUCCESS-gated manifest commit
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -30,6 +31,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "manifest.json"
+
+
+def params_hash(params: dict) -> str:
+    """Stable hash of a stage's parameters for resume keying (ADVICE r1:
+    resume must be keyed on (name, params), not name alone — otherwise
+    re-running with changed k/min_sim/config silently returns stale data)."""
+    return hashlib.sha256(
+        json.dumps(params, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
 
 
 def content_fingerprint(df: DataFrame, key_cols: list[str]) -> int:
@@ -73,15 +83,24 @@ class CheckpointManager:
         key_cols: list[str],
         parents: list[str] | None = None,
         force: bool = False,
+        params: dict | None = None,
     ) -> DataFrame:
         """Materialize ``df`` (or the DataFrame returned by a zero-arg
         callable — use a thunk when even *building* the plan is expensive,
         e.g. requires driver-side training) as checkpoint ``name``, or read
         the existing checkpoint when complete. Returns the checkpoint-backed
-        DataFrame, cutting all upstream lineage."""
+        DataFrame, cutting all upstream lineage.
+
+        ``params`` (the stage's semantic knobs) is hashed into the manifest;
+        an existing checkpoint is only reused when its recorded params hash
+        matches — a changed parameter recomputes instead of silently
+        returning stale outputs."""
         data_path, mpath = self._paths(name)
+        phash = params_hash(params) if params is not None else None
         if not force and self.is_complete(name):
-            return self.spark.read.parquet(data_path)
+            man = self.manifest(name)
+            if phash is None or man.get("params_hash") == phash:
+                return self.spark.read.parquet(data_path)
 
         df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
         t0 = time.perf_counter()
@@ -98,6 +117,8 @@ class CheckpointManager:
             "wall_seconds": round(wall, 3),
             "written_at_ns": time.time_ns(),
             "parents": parents or [],
+            "params_hash": phash,
+            "params": params,
         }
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
@@ -141,6 +162,7 @@ def run_blocking_pipeline(
     verify_jaccard: float | None = 0.4,
     config=None,
     force: bool = False,
+    pairing: str = "auto",
 ) -> DataFrame:
     """The checkpointed end-to-end ER pipeline, each stage resumable:
 
@@ -151,6 +173,16 @@ def run_blocking_pipeline(
     Embedding blocking casts a wide net; the verify stage decides matches.
     The token-set Jaccard verification runs only on candidate pairs (k*N,
     not N^2) as JVM array intersections. Returns (id, component).
+
+    ``pairing`` selects the candidate generator (VERDICT r1 #1 — the scale
+    path must be reachable from the production entrypoint):
+      * 'exact' — chunk-broadcast exact top-K (the recall oracle);
+      * 'lsh'   — random-hyperplane LSH buckets, no driver materialization
+                  of the table, bounded shuffle: the 100 TB path;
+      * 'ivf'   — IVF-flat with driver-trained centroids;
+      * 'auto'  — exact below cfg.pairing_lsh_threshold_rows rows
+                  (using the embeddings checkpoint's manifest row count),
+                  LSH above it.
     """
     from deepblocker_spark.config import DEFAULT_CONFIG
     from deepblocker_spark.functions.tokenizer import tokens_col
@@ -160,6 +192,8 @@ def run_blocking_pipeline(
     from deepblocker_spark.pipeline import SparkSIFEmbedding
 
     cfg = config or DEFAULT_CONFIG
+    if pairing not in ("auto", "exact", "lsh", "ivf"):
+        raise ValueError(f"unknown pairing mode: {pairing!r}")
 
     def build_embeddings() -> DataFrame:
         pre = preprocess_table(source, cols_to_block, id_col)
@@ -167,18 +201,49 @@ def run_blocking_pipeline(
         model.preprocess(pre.select(MERGED_TEXT))
         return model.embed(pre)
 
-    emb = ckpt.stage("embeddings", build_embeddings, [id_col], force=force)
+    emb = ckpt.stage(
+        "embeddings", build_embeddings, [id_col], force=force,
+        params={"cols_to_block": cols_to_block, "id_col": id_col,
+                "emb_dim": cfg.emb_dim, "remove_pc": cfg.remove_pc,
+                "sif_a": cfg.sif_weighting_param},
+    )
+
+    mode = pairing
+    if mode == "auto":
+        n_rows = ckpt.manifest("embeddings")["rows"]
+        mode = "lsh" if n_rows > cfg.pairing_lsh_threshold_rows else "exact"
 
     def build_candidates() -> DataFrame:
-        pairing = ExactTopKVectorPairing(
-            k=k, exclude_self=True, max_broadcast_rows=cfg.max_broadcast_rows
-        )
-        pairing.index(emb, r_id=id_col)
-        return pairing.query(emb, l_id=id_col)
+        if mode == "exact":
+            p = ExactTopKVectorPairing(
+                k=k, exclude_self=True, max_broadcast_rows=cfg.max_broadcast_rows
+            )
+        elif mode == "lsh":
+            from deepblocker_spark.operators.lsh import LSHVectorPairing
+
+            p = LSHVectorPairing(
+                k=k, dim=cfg.emb_dim, n_bands=cfg.lsh_n_bands,
+                band_bits=cfg.lsh_band_bits, seed=cfg.random_seed,
+                max_bucket_rows=cfg.lsh_max_bucket_rows,
+            )
+        else:  # ivf
+            from deepblocker_spark.operators.ann import ivf_topk
+
+            return ivf_topk(
+                emb, k=k, id_col=id_col, emb_col="embedding", dim=cfg.emb_dim,
+                n_cells=cfg.ivf_n_cells, nprobe=cfg.ivf_nprobe,
+                seed=cfg.random_seed,
+            )
+        p.index(emb, r_id=id_col)
+        return p.query(emb, l_id=id_col)
 
     cands = ckpt.stage(
         "candidates", build_candidates, ["l_id", "r_id"],
         parents=["embeddings"], force=force,
+        params={"k": k, "pairing": mode,
+                "lsh": [cfg.lsh_n_bands, cfg.lsh_band_bits,
+                        cfg.lsh_max_bucket_rows] if mode == "lsh" else None,
+                "ivf": [cfg.ivf_n_cells, cfg.ivf_nprobe] if mode == "ivf" else None},
     )
 
     def build_scored() -> DataFrame:
@@ -211,7 +276,9 @@ def run_blocking_pipeline(
         return out
 
     scored = ckpt.stage(
-        "scored", build_scored, ["l_id", "r_id"], parents=["candidates"], force=force
+        "scored", build_scored, ["l_id", "r_id"], parents=["candidates"],
+        force=force,
+        params={"min_sim": min_sim, "verify_jaccard": verify_jaccard},
     )
 
     def build_clusters() -> DataFrame:
@@ -219,5 +286,5 @@ def run_blocking_pipeline(
 
     return ckpt.stage(
         "clusters", build_clusters, ["id", "component"],
-        parents=["scored"], force=force,
+        parents=["scored"], force=force, params={},
     )
