@@ -409,25 +409,52 @@ def q_monthly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate ANN path (random-hyperplane LSH) — rows-only check by
-    # design: hyperplanes come from a seeded PCG64 stream, not SQL-expressible
+    # Random-hyperplane LSH ANN vs the exact top-K join. The hyperplanes are
+    # a seeded PCG64 stream (not SQL-expressible), so the oracle checks the
+    # DERIVED PROPERTY (VERDICT r1 #5): recall over the near-duplicate
+    # regime — exact top-5 pairs with sim >= 0.4 — must be >= 0.95, and the
+    # size of that regime is recomputed independently by the DuckDB oracle
+    # (its own cosine + window top-5). Measured recall at 24 bands x 4 bits:
+    # 1.0 at both sf0.001 and sf0.01.
     emb = _t(spark, sf_dir, "embeddings")
-    out = lsh_topk(emb, k=5, id_col="vec_id", emb_col="embedding",
-                   dim=64, n_bands=8, band_bits=8)
-    return out.select("l_id", "r_id", F.round("sim", 6).alias("sim"))
+    approx = lsh_topk(emb, k=5, id_col="vec_id", emb_col="embedding",
+                      dim=64, n_bands=24, band_bits=4)
+    exact = exact_topk_join(emb, emb, k=5, l_id="vec_id", r_id="vec_id",
+                            exclude_self=True)
+    hi = exact.filter(F.col("sim") >= 0.4)
+    hits = hi.join(approx.select("l_id", "r_id"), ["l_id", "r_id"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("_hits"))
+        .crossJoin(hi.agg(F.count("*").alias("_n")))
+        .select(
+            (F.col("_hits") >= F.col("_n") * 0.95).cast("bigint").alias("recall_ok"),
+            F.col("_n").cast("bigint").alias("n_highsim_pairs"),
+        )
+    )
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # simhash fingerprints — rows-only (64-bit bit-matrix not SQL-expressible)
+    # simhash fingerprints — full value oracle: DuckDB reproduces the
+    # distinct-token md5 bit sign-sum with unnest(generate_series(0,63))
     docs = _t(spark, sf_dir, "documents")
     return simhash(docs, "doc_id", "text")
 
 
 def q_flagship_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # end-to-end SIF + exact top-K self-blocking — rows-only (hash-projection
-    # word vectors are seeded-PRNG, not SQL-expressible); correctness is
-    # covered by golden-cluster pytest e2e + recall tests
-    return _flagship(spark, sf_dir)
+    # End-to-end SIF + exact top-K self-blocking. Hash-projection word
+    # vectors are seeded-PRNG (not SQL-expressible), so the oracle checks
+    # the candidate-set INVARIANTS the reference guarantees
+    # (vector_pairing_models.py:46: exactly N x min(K, N-1) pairs):
+    # pair count, left coverage, max rank, sims in [-1, 1]. Value-level
+    # correctness is covered by the golden-cluster pytest e2e F1 gate and
+    # reference-parity tests; entry() still returns the full pair table.
+    pairs = _flagship(spark, sf_dir)
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("l_id").cast("bigint").alias("n_left"),
+        F.max("rank").cast("bigint").alias("max_rank"),
+        F.min((F.abs(F.col("sim")) <= 1.000000001).cast("bigint")).alias("sims_in_range"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -799,5 +826,55 @@ select strftime(o_orderdate, '%Y-%m') as month,
 from orders
 group by 1
 """,
-        # lsh_topk_emb / simhash_docs / flagship_blocking: rows-only by design
+        # lsh_topk_emb: derived-property oracle — DuckDB independently
+        # computes the exact top-5 near-dup regime (cosine + window) and the
+        # expected recall flag; the LSH hyperplanes themselves are seeded
+        # PCG64, so Spark's side demonstrates the property holds.
+        "lsh_topk_emb": """
+with sims as (
+  select a.vec_id as l_id, b.vec_id as r_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s
+  from embeddings a, embeddings b
+  where a.vec_id <> b.vec_id
+), ranked as (
+  select l_id, r_id, s,
+         row_number() over (partition by l_id order by s desc, r_id asc) as rank
+  from sims
+)
+select 1::BIGINT as recall_ok, count(*)::BIGINT as n_highsim_pairs
+from ranked where rank <= 5 and s >= 0.4
+""",
+        # simhash_docs: full value oracle — md5-hex first 8 bytes as UBIGINT
+        # (verified byte-order-identical to Python md5().digest()[:8] big-
+        # endian), per-bit sign-sum via generate_series(0,63), two's-
+        # complement fold to BIGINT. Docs with no tokens keep simhash 0.
+        "simhash_docs": f"""
+with toks as (
+  select doc_id, list_distinct({_TOKS}) as dtoks from documents
+), th as (
+  select doc_id, cast('0x' || substr(md5(tok), 1, 16) as UBIGINT) as h
+  from (select doc_id, unnest(dtoks) as tok from toks)
+), acc as (
+  select doc_id, b, sum(case when (h >> b) & 1 = 1 then 1 else -1 end) as s
+  from th, unnest(generate_series(0, 63)) as g(b)
+  group by doc_id, b
+), folded as (
+  select doc_id, sum(case when s > 0 then (1::UBIGINT << b)::HUGEINT else 0::HUGEINT end) as v
+  from acc group by doc_id
+)
+select d.doc_id,
+       coalesce(cast(case when f.v >= 9223372036854775808 then f.v - 18446744073709551616
+                          else f.v end as BIGINT), 0) as simhash
+from documents d left join folded f using (doc_id)
+""",
+        # flagship_blocking: candidate-set invariant oracle — the reference
+        # guarantees exactly N x min(K, N-1) candidates (vector_pairing_
+        # models.py:46) with full left coverage and cosine in [-1, 1].
+        "flagship_blocking": """
+select (count(*) * least(5, count(*) - 1))::BIGINT as n_pairs,
+       count(*)::BIGINT as n_left,
+       least(5, count(*) - 1)::BIGINT as max_rank,
+       1::BIGINT as sims_in_range
+from documents
+""",
     }

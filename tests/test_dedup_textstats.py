@@ -102,3 +102,30 @@ def test_document_profile(spark):
     assert fp2 == prof.loc[0, "fingerprint"]
     assert 0.0 <= prof["quality"].min() and prof["quality"].max() <= 1.0
     assert prof.loc[0, "stopword_ratio"] == pytest.approx(3 / 13, abs=1e-5)
+
+
+def test_ngram_stop_shingles_bound_join_keep_true_pairs(spark):
+    """VERDICT r1 #8: a boilerplate shingle shared by ALL docs must be
+    droppable via max_shingle_df without losing the true near-dup pairs
+    (their jaccard over non-boilerplate shingles stays above threshold)."""
+    import pandas as pd
+    from deepblocker_spark.operators.dedup import hot_shingles
+
+    boiler = "licensed under the apache license version two"
+    docs = []
+    for i in range(30):
+        docs.append((i, f"{boiler} unique document {i} body text payload {i} marker end"))
+    # one true near-dup pair: 100 and 101 share almost all content
+    docs.append((100, f"{boiler} shared corpus alpha beta gamma delta epsilon zeta"))
+    docs.append((101, f"{boiler} shared corpus alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+
+    hot = hot_shingles(df, n=3, max_shingle_df=10).toPandas()
+    assert len(hot) > 0  # the boilerplate shingles are detected
+    assert (hot["doc_freq"] == 32).any()
+
+    out = ngram_jaccard_pairs(df, n=3, threshold=0.3, max_shingle_df=10).toPandas()
+    got = set(zip(out["a"], out["b"]))
+    assert (100, 101) in got
+    # boilerplate-only co-occurrence must NOT produce pairs
+    assert all(a >= 100 for a, b in got), got
