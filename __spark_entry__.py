@@ -191,11 +191,13 @@ def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb, k=10, l_id="vec_id", r_id="vec_id",
         emb_col="embedding", exclude_self=True,
     )
-    l = emb.select(F.col("vec_id").alias("ltable_id"), F.col("label").alias("la"))
-    r = emb.select(F.col("vec_id").alias("rtable_id"), F.col("label").alias("lb"))
+    # golden = same-label pairs via equi-join on label (shuffle on the join
+    # key, never a crossJoin — the idiomatic O(matches) plan)
+    l = emb.select(F.col("vec_id").alias("ltable_id"), "label")
+    r = emb.select(F.col("vec_id").alias("rtable_id"), "label")
     golden = (
-        l.crossJoin(r)
-        .filter((F.col("la") == F.col("lb")) & (F.col("ltable_id") != F.col("rtable_id")))
+        l.join(r, "label")
+        .filter(F.col("ltable_id") != F.col("rtable_id"))
         .select("ltable_id", "rtable_id")
     )
     stats = blocking_statistics(cands, golden, n, n)
