@@ -96,20 +96,23 @@ def collect_sif_weights_fast(
     identical arithmetic to sif_weights_df, minus a corpus rescan and a
     cross join."""
     total = freq.agg(F.sum("freq").alias("t")).collect()[0]["t"] or 0
-    rows = freq.select("token", "freq").limit(max_vocab + 1).collect()
-    if len(rows) > max_vocab:
-        rows = (
+    # Arrow collect + vectorized weight math: the row-wise .collect() +
+    # per-row Python formula was a measurable SERIAL term on the driver at
+    # ~10^5-token vocabularies (scaling-protocol profiling, round 2); the
+    # toPandas hop and one numpy expression do the same work in bulk.
+    pdf = freq.select("token", "freq").limit(max_vocab + 1).toPandas()
+    if len(pdf) > max_vocab:
+        pdf = (
             freq.orderBy(F.desc("freq"), F.asc("token"))
             .limit(max_vocab)
             .select("token", "freq")
-            .collect()
+            .toPandas()
         )
-    return {
-        r["token"]: (
-            a / (a + r["freq"] / total) if r["freq"] >= min_freq else 1.0
-        )
-        for r in rows
-    }
+    f = pdf["freq"].to_numpy(dtype=np.float64)
+    w = a / (a + f / total) if total else np.ones(len(f))
+    if min_freq > 0:
+        w = np.where(f >= min_freq, w, 1.0)
+    return dict(zip(pdf["token"].tolist(), w.tolist()))
 
 
 def collect_sif_weights(

@@ -76,11 +76,39 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float
     return j + prefix * p * (1.0 - j)
 
 
+# C-backed Jaro-Winkler when available (rapidfuzz / jellyfish — absent in
+# this sandbox, typically present on real clusters); the pure-Python form is
+# the documented slow knob of the scoring stage (VERDICT r1 #5): O(len^2)
+# per pair, ~10-50x slower than the C implementations. Install rapidfuzz on
+# the cluster to remove it from the critical path with no code change.
+try:  # pragma: no cover - environment-dependent
+    from rapidfuzz.distance.JaroWinkler import similarity as _jw_fast
+except ImportError:
+    try:  # pragma: no cover
+        from jellyfish import jaro_winkler_similarity as _jw_fast
+    except ImportError:
+        _jw_fast = None
+
+# Worker-lifetime pair-result cache: dedup/ER candidate tables compare hot
+# records (boilerplate, popular entities) against many partners, and both
+# orders of a pair score identically.
+_JW_CACHE: dict[tuple[str, str], float] = {}
+
+
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    fn = _jw_fast or jaro_winkler
     out = np.empty(len(s1), dtype=np.float64)
+    if len(_JW_CACHE) > 1_000_000:
+        _JW_CACHE.clear()
     for i, (a, b) in enumerate(zip(s1, s2)):
-        out[i] = jaro_winkler(a or "", b or "")
+        a, b = a or "", b or ""
+        key = (a, b) if a <= b else (b, a)
+        v = _JW_CACHE.get(key)
+        if v is None:
+            v = fn(*key)
+            _JW_CACHE[key] = v
+        out[i] = v
     return pd.Series(out)
 
 
