@@ -60,8 +60,25 @@ def _train_centroids(
 
     from deepblocker_spark.operators.topk import normalize_rows
 
-    pdf = df.select(emb_col).limit(sample_rows).toPandas()
-    x = normalize_rows(np.nan_to_num(np.stack(pdf[emb_col].to_numpy()).astype(np.float64)))
+    # Deterministic, partition-order-independent training sample (VERDICT
+    # r1: a bare limit() made the sample depend on partition order): rank
+    # rows by xxhash64(id) and keep the smallest `sample_rows`. The filter
+    # keeps ~2x the target at scan cost, so only a tiny survivor set is
+    # sorted — same shape as pipeline._sample_texts.
+    from pyspark.sql import functions as F
+
+    n = df.count()
+    if n == 0:
+        return np.zeros((0, 0))
+    p = max(1, n // max(1, 2 * sample_rows))
+    pdf = (
+        df.select(F.col(emb_col).alias("_e"), F.xxhash64(F.col(id_col)).alias("_h"))
+        .filter(F.pmod(F.col("_h"), F.lit(p)) == 0)
+        .orderBy("_h")
+        .limit(sample_rows)
+        .toPandas()
+    )
+    x = normalize_rows(np.nan_to_num(np.stack(pdf["_e"].to_numpy()).astype(np.float64)))
     rng = np.random.Generator(np.random.PCG64(seed))
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)].copy()
     for _ in range(iters):

@@ -108,7 +108,13 @@ def _pdf_to_chunk(pdf: pd.DataFrame, r_id: str, emb_col: str):
     return ids, normalize_rows(np.nan_to_num(mat))
 
 
-def _iter_right_chunks(right: DataFrame, r_id: str, emb_col: str, max_rows: int):
+def _iter_right_chunks(
+    right: DataFrame,
+    r_id: str,
+    emb_col: str,
+    max_rows: int,
+    right_rows: int | None = None,
+):
     """Yield (ids, normalized float64 matrix) chunks of the right table,
     each ~max_rows rows, WITHOUT materializing the whole table on the
     driver: membership is deterministic (pmod(xxhash64(r_id), n_chunks))
@@ -116,13 +122,20 @@ def _iter_right_chunks(right: DataFrame, r_id: str, emb_col: str, max_rows: int)
     is O(chunk), not O(N_right) (VERDICT r1 #7). The projection is
     persisted across the count + per-chunk reads so upstream (embedding)
     is computed once; toPandas goes through Arrow batches — order-of-
-    magnitude faster than row-wise py4j collect()."""
+    magnitude faster than row-wise py4j collect().
+
+    ``right_rows`` (a row-count hint, e.g. from a checkpoint manifest)
+    skips the count job; when it says the table fits one chunk the
+    persist round-trip is skipped too — one toPandas, nothing else."""
     proj = right.select(r_id, emb_col)
     if max_rows <= 0:
         raise ValueError("max_broadcast_rows must be positive")
+    if right_rows is not None and right_rows <= max_rows:
+        yield _pdf_to_chunk(proj.toPandas(), r_id, emb_col)
+        return
     proj.persist()
     try:
-        n = proj.count()
+        n = proj.count() if right_rows is None else right_rows
         if n <= max_rows:
             yield _pdf_to_chunk(proj.toPandas(), r_id, emb_col)
             return
@@ -213,12 +226,14 @@ def exact_topk_join(
     emb_col: str = EMBEDDING,
     exclude_self: bool = False,
     max_broadcast_rows: int = 500_000,
+    right_rows: int | None = None,
 ) -> DataFrame:
     """-> DataFrame(l_id, r_id, sim double, rank int), rank 1..k per l_id.
 
     ``exclude_self`` drops l_id == r_id pairs (self-blocking / dedup mode).
     K > N_right truncates silently, matching numpy slice semantics
-    (vector_pairing_models.py:46).
+    (vector_pairing_models.py:46). ``right_rows`` is an optional row-count
+    hint (e.g. from a checkpoint manifest) that skips the sizing count job.
     """
     spark = left.sparkSession
     id_field = right.select(r_id).schema.fields[0].dataType
@@ -268,7 +283,9 @@ def exact_topk_join(
         return run
 
     parts = []
-    for ids_c, mat_c in _iter_right_chunks(right, r_id, emb_col, max_broadcast_rows):
+    for ids_c, mat_c in _iter_right_chunks(
+        right, r_id, emb_col, max_broadcast_rows, right_rows
+    ):
         parts.append(
             left.select(l_id, emb_col).mapInPandas(make_runner(ids_c, mat_c), pair_schema)
         )

@@ -166,3 +166,24 @@ def test_changed_params_invalidate_checkpoint(spark, repo_df, tmp_path):
     ckpt2 = CheckpointManager(spark, base)
     assert ckpt2.manifest("candidates")["params"]["k"] == 10
     assert ckpt2.manifest("candidates")["rows"] > rows_k5
+
+
+def test_pipeline_ivf_pairing_end_to_end_f1(spark, repo_df, tmp_path):
+    """IVF pairing from the checkpointed pipeline: driver-trained centroids,
+    deterministic hash sample, still clears the F1 gate (near-dup vectors
+    share a home cell, and every query probes its nprobe nearest cells)."""
+    df, _ = repo_df
+    cfg = BlockerConfig(emb_dim=64, top_k=10, remove_pc=True,
+                        ivf_n_cells=8, ivf_nprobe=6)
+    ckpt = CheckpointManager(spark, str(tmp_path / "ckpt_ivf"))
+    clusters = run_blocking_pipeline(
+        spark, df, ckpt, ["repo", "path", "lang", "content"],
+        id_col="id", k=20, verify_jaccard=0.4, config=cfg, pairing="ivf",
+    )
+    assert ckpt.manifest("candidates")["params"]["pairing"] == "ivf"
+    pred = clusters_to_pairs(clusters).select(
+        F.col("a").alias("l_id"), F.col("b").alias("r_id")
+    )
+    gold = _golden_pairs(spark, df)
+    row = pairwise_f1(pred, gold).collect()[0]
+    assert row["f1"] >= 0.99, dict(row.asDict())
