@@ -96,6 +96,26 @@ def main() -> None:
     )
     qs["flagship_partition_pruned"] = lambda *_: flag_pre
 
+    # LSH candidate generation (the 100 TB scale path): signatures carry the
+    # embedding so there is NO shuffle join back to the source table — only
+    # the tiny oversized-bucket list is joined, broadcast. A needle starting
+    # with "!" asserts ABSENCE.
+    from deepblocker_spark.operators.lsh import lsh_candidates
+
+    emb_tbl = spark.read.parquet(f"{SF}/embeddings.parquet")
+    lsh_plan_df = lsh_candidates(
+        emb_tbl, id_col="vec_id", emb_col="embedding", dim=64, k=5,
+        n_bands=8, band_bits=8, seed=3,
+    )
+    audits["lsh_candidates"] = (
+        ["BroadcastHashJoin", "!SortMergeJoin",
+         "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
+        "oversized-bucket list broadcast (no shuffle join of the signature "
+        "table); the signature pass carries the vector, so no join back to "
+        "the source; scan pruned to (id, embedding)",
+    )
+    qs["lsh_candidates"] = lambda *_: lsh_plan_df
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
@@ -107,7 +127,10 @@ def main() -> None:
         plan = plan_of(df)
         checks = []
         for needle in must_contain:
-            ok = needle in plan
+            if needle.startswith("!"):
+                ok = needle[1:] not in plan
+            else:
+                ok = needle in plan
             checks.append((needle, ok))
             if not ok:
                 failures.append((name, needle))
