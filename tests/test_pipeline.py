@@ -138,3 +138,20 @@ def test_pairwise_f1_metric(spark):
     assert row["precision"] == pytest.approx(2 / 3)
     assert row["recall"] == pytest.approx(2 / 3)
     assert row["f1"] == pytest.approx(2 / 3)
+
+
+def test_block_datasets_lsh_pairing_recall(spark):
+    """Two-table blocking through the reference's main.py usage shape, but
+    with the LSH (dyadic grid-split) pairing — the scale path — must still
+    recover the golden matches."""
+    from deepblocker_spark.operators.lsh import LSHVectorPairing
+
+    left, right = _dyadic_tables(spark)
+    blocker = DeepBlocker(
+        SparkSIFEmbedding(TEST_CONFIG),
+        LSHVectorPairing(k=3, dim=TEST_CONFIG.emb_dim, n_bands=16, band_bits=4),
+        TEST_CONFIG,
+    )
+    cands = blocker.block_datasets(left, right, ["title", "manufacturer", "price"])
+    stats = blocking_statistics(cands, _golden(spark), 30, 30).collect()[0]
+    assert stats["recall"] >= 0.95
