@@ -116,8 +116,11 @@ def topk_per_key(
             l_uniq, l = np.unique(l, return_inverse=True)
         if r.dtype == object:
             r_uniq, r = np.unique(r, return_inverse=True)
-        # dedup identical (key, other) pairs (same pair found in >1 bucket)
-        order = np.lexsort((r, l))
+        # dedup (key, other) pairs (same pair found in >1 bucket), keeping
+        # the MAX sim deterministically — sims of a duplicated pair are
+        # normally identical (same vectors), but floating context can
+        # differ, and keep-max is the defensible contract
+        order = np.lexsort((-s, r, l))
         l, r, s = l[order], r[order], s[order]
         keep = np.ones(len(l), dtype=bool)
         keep[1:] = (l[1:] != l[:-1]) | (r[1:] != r[:-1])

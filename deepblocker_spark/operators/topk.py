@@ -393,10 +393,14 @@ class ExactTopKVectorPairing:
     DataFrame-in/DataFrame-out signatures: index(right_df) then
     query(left_df) -> pair table."""
 
-    def __init__(self, k: int = 50, exclude_self: bool = False, max_broadcast_rows: int = 500_000):
+    def __init__(self, k: int = 50, exclude_self: bool = False,
+                 max_broadcast_rows: int = 500_000, right_rows: int | None = None):
         self.k = k
         self.exclude_self = exclude_self
         self.max_broadcast_rows = max_broadcast_rows
+        # optional row-count hint (e.g. from a checkpoint manifest) — skips
+        # the sizing count job before the chunked collect
+        self.right_rows = right_rows
         self._right: DataFrame | None = None
 
     def index(self, right: DataFrame, r_id: str = "id", emb_col: str = EMBEDDING):
@@ -417,4 +421,5 @@ class ExactTopKVectorPairing:
             emb_col=emb_col or self._emb_col,
             exclude_self=self.exclude_self,
             max_broadcast_rows=self.max_broadcast_rows,
+            right_rows=self.right_rows,
         )

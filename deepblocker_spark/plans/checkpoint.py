@@ -208,15 +208,18 @@ def run_blocking_pipeline(
                 "sif_a": cfg.sif_weighting_param},
     )
 
+    n_rows = ckpt.manifest("embeddings")["rows"]
     mode = pairing
     if mode == "auto":
-        n_rows = ckpt.manifest("embeddings")["rows"]
         mode = "lsh" if n_rows > cfg.pairing_lsh_threshold_rows else "exact"
 
     def build_candidates() -> DataFrame:
         if mode == "exact":
+            # the manifest row count doubles as the right_rows hint — no
+            # sizing count job before the chunked collect
             p = ExactTopKVectorPairing(
-                k=k, exclude_self=True, max_broadcast_rows=cfg.max_broadcast_rows
+                k=k, exclude_self=True, max_broadcast_rows=cfg.max_broadcast_rows,
+                right_rows=n_rows,
             )
         elif mode == "lsh":
             from deepblocker_spark.operators.lsh import LSHVectorPairing

@@ -1,0 +1,87 @@
+"""Direct tests for the sort-based grouped map (operators/grouped.py) —
+especially the group-spanning-Arrow-batch buffering, which no amount of
+end-to-end luck should be trusted to exercise."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StructField, StructType,
+)
+
+from deepblocker_spark.operators.grouped import grouped_map_in_pandas, topk_per_key
+from deepblocker_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def tiny_batch_spark():
+    # arrow_max_records=7: forces many groups to SPAN batch boundaries
+    s = get_spark("grouped-tests", master="local[4]", shuffle_partitions=4,
+                  arrow_max_records=7)
+    yield s
+    s.stop()
+
+
+def test_grouped_map_groups_survive_batch_boundaries(tiny_batch_spark):
+    spark = tiny_batch_spark
+    # 40 groups of 5 rows each; batches of 7 guarantee spanning
+    pdf = pd.DataFrame({
+        "g": np.repeat(np.arange(40), 5),
+        "v": np.arange(200, dtype=np.int64),
+    })
+    df = spark.createDataFrame(pdf)
+    out_schema = StructType([
+        StructField("g", LongType(), False),
+        StructField("n", LongType(), False),
+        StructField("vsum", LongType(), False),
+    ])
+
+    def kernel(frame: pd.DataFrame) -> pd.DataFrame:
+        return frame.groupby("g", sort=True).agg(
+            n=("v", "size"), vsum=("v", "sum")
+        ).reset_index()
+
+    got = grouped_map_in_pandas(df, ["g"], kernel, out_schema).toPandas()
+    got = got.sort_values("g").reset_index(drop=True)
+    # every group seen exactly once, with ALL its rows
+    assert list(got["g"]) == list(range(40))
+    assert (got["n"] == 5).all()
+    expected = pdf.groupby("g")["v"].sum()
+    assert list(got["vsum"]) == list(expected)
+
+
+def test_topk_per_key_dedup_rank_and_ties(tiny_batch_spark):
+    spark = tiny_batch_spark
+    rows = [
+        # duplicates of the same pair (as from two LSH bands)
+        (1, 10, 0.9), (1, 10, 0.9),
+        (1, 11, 0.95), (1, 12, 0.95),  # tie on sim -> r_id asc breaks it
+        (1, 13, 0.1),
+        (2, 10, 0.5),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["l_id", "r_id", "sim"]))
+    out = topk_per_key(df, k=3).toPandas().sort_values(["l_id", "rank"])
+    got = list(map(tuple, out[["l_id", "r_id", "rank"]].values.tolist()))
+    assert got == [(1, 11, 1), (1, 12, 2), (1, 10, 3), (2, 10, 1)]
+
+
+def test_topk_per_key_string_ids(tiny_batch_spark):
+    spark = tiny_batch_spark
+    rng = np.random.default_rng(5)
+    ls = [f"doc-{i:03d}" for i in rng.integers(0, 30, 300)]
+    rs = [f"doc-{i:03d}" for i in rng.integers(0, 30, 300)]
+    sims = rng.random(300)
+    df = spark.createDataFrame(pd.DataFrame({"l_id": ls, "r_id": rs, "sim": sims}))
+    out = topk_per_key(df, k=4).toPandas()
+    # oracle via pandas
+    pdf = pd.DataFrame({"l_id": ls, "r_id": rs, "sim": sims})
+    pdf = pdf.sort_values(["l_id", "r_id", "sim"], ascending=[True, True, False])
+    pdf = pdf.drop_duplicates(["l_id", "r_id"], keep="first")  # keep max sim
+    pdf = pdf.sort_values(["l_id", "sim", "r_id"], ascending=[True, False, True])
+    pdf["rank"] = pdf.groupby("l_id").cumcount() + 1
+    pdf = pdf[pdf["rank"] <= 4]
+    key = lambda d: sorted(map(tuple, d[["l_id", "r_id", "rank"]].values.tolist()))  # noqa: E731
+    assert key(out) == key(pdf)

@@ -100,3 +100,28 @@ def test_zero_vector_rows_get_sim_zero(spark):
     right, _ = _emb_df(spark, 4, 8, seed=12, id_start=10)
     rows = exact_topk_join(left, right, k=2).collect()
     assert all(r["sim"] == 0.0 for r in rows)
+
+
+def test_topk_right_rows_hint_multi_chunk_identical(spark):
+    from deepblocker_spark.operators.topk import exact_topk_join as ej
+    left, _ = _emb_df(spark, 15, 8, seed=11)
+    right, _ = _emb_df(spark, 33, 8, seed=12, id_start=900)
+    whole = _collect_pairs(ej(left, right, k=6))
+    hinted_single = _collect_pairs(ej(left, right, k=6, right_rows=33))
+    hinted_multi = _collect_pairs(ej(left, right, k=6, max_broadcast_rows=8, right_rows=33))
+    assert whole == hinted_single == hinted_multi
+
+
+def test_threshold_join_chunked_equals_single_chunk(spark):
+    from deepblocker_spark.operators.topk import cosine_threshold_join
+
+    left, _ = _emb_df(spark, 25, 8, seed=13)
+    right, _ = _emb_df(spark, 31, 8, seed=14, id_start=700)
+
+    def as_set(df):
+        return {(r["l_id"], r["r_id"], round(r["sim"], 9)) for r in df.collect()}
+
+    whole = as_set(cosine_threshold_join(left, right, 0.3, upper_only=False))
+    chunked = as_set(cosine_threshold_join(left, right, 0.3, upper_only=False,
+                                           max_broadcast_rows=7))
+    assert whole == chunked and len(whole) > 0
