@@ -194,7 +194,7 @@ def _measure_scaling() -> dict:
     # rounds so slow host phases hit both levels equally; min-of-rounds per
     # level; per-level distributions are reported, not just the min.
     lo, hi = 4, 16
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     have_taskset = shutil.which("taskset") is not None
     repo_dir = os.path.dirname(os.path.abspath(__file__))
 
@@ -238,12 +238,27 @@ def _measure_scaling() -> dict:
         print(f"# host-control {cores} cores: {t:.2f}s", file=sys.stderr)
         return t
 
-    # control + engine interleaved per round, min per level for both:
-    # host phases drift on minute scale, so every quantity must get
-    # several chances to see a good phase
+    # Control + engine interleaved per round, min per level for both.
+    # The host degrades intermittently for tens of seconds at a time: a
+    # 30-60 s engine run often straddles a bad phase that a 5 s control
+    # run dodges, so a FIXED round count can record a round where one
+    # level never saw a clean window (observed: engine local[16]
+    # 43.9/64.7/32.2 s in one bench vs a stable 15.6-16.7 s in another,
+    # same code). Rounds are therefore ADAPTIVE: keep sampling (up to
+    # max_rounds) until each engine level has two runs within 15% of its
+    # own minimum — evidence the minimum is a real clean-window time, not
+    # a lucky outlier, and that the level was actually measured.
+    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "6"))
+
+    def stable(ts: list[float]) -> bool:
+        if len(ts) < 2:
+            return False
+        srt = sorted(ts)
+        return srt[1] <= srt[0] * 1.15
+
     ctrl_times: dict[int, list[float]] = {lo: [], hi: []}
     times: dict[int, list[float]] = {lo: [], hi: []}
-    for _ in range(rounds):
+    for rnd in range(max_rounds):
         for cores in (lo, hi):
             c = control_once(cores)
             if c is not None:
@@ -251,11 +266,13 @@ def _measure_scaling() -> dict:
             t = run_once(cores)
             if t is not None:
                 times[cores].append(round(t, 3))
+        if rnd + 1 >= rounds and stable(times[lo]) and stable(times[hi]):
+            break
     ctrl_lo = min(ctrl_times[lo]) if ctrl_times[lo] else None
     ctrl_hi = min(ctrl_times[hi]) if ctrl_times[hi] else None
 
     result: dict = {"rows": rows, "cores": [lo, hi], "pinned": have_taskset,
-                    "rounds": rounds,
+                    "rounds": len(times[lo]),
                     f"local{lo}_times": times[lo], f"local{hi}_times": times[hi],
                     f"control{lo}_times": ctrl_times[lo],
                     f"control{hi}_times": ctrl_times[hi]}

@@ -149,3 +149,130 @@ def windowed_event_counts(
             "sum_value",
         )
     )
+
+
+def streaming_minhash_neardup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    min_est_jaccard: float = 0.5,
+    max_state_docs: int = 256,
+    state_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Streaming near-duplicate detection: incoming docs are minhash-banded
+    (same JVM signature expressions as the batch operator,
+    operators/dedup.minhash_signature_cols) and each (band, key) bucket
+    carries its recently-seen docs as ``applyInPandasWithState`` state. A
+    new doc colliding with a stored one emits
+    (new_id, seen_id, est_jaccard) where est_jaccard is the fraction of
+    agreeing minhash components — the standard unbiased Jaccard estimate.
+
+    State discipline (the 100 TB concern): per-bucket state is capped at
+    ``max_state_docs`` most-recent docs (hot boilerplate buckets stay
+    bounded) and idle buckets are evicted by processing-time timeout. The
+    same pair can surface via several bands or micro-batches — consumers
+    dedup downstream (`dropDuplicates(["new_id", "seen_id"])` in the sink
+    query or at read time).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from deepblocker_spark.functions.tokenizer import tokens_col
+    from deepblocker_spark.operators.dedup import minhash_signature_cols
+
+    assert num_hashes % n_bands == 0
+    rows_per_band = num_hashes // n_bands
+
+    toks = tokens_col(text_col)
+    sigs = stream.select(
+        F.col(id_col).cast("string").alias("_id"),
+        *minhash_signature_cols(toks, num_hashes),
+    ).filter(F.col("mh0").isNotNull())
+    sig_str = F.concat_ws("|", *[F.col(f"mh{i}") for i in range(num_hashes)])
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"mh{i}")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = (
+        sigs.withColumn("_sig", sig_str)
+        .withColumn("_bk", F.explode(band_structs))
+        .select("_id", "_sig", F.col("_bk.band").alias("band"), F.col("_bk.key").alias("key"))
+    )
+
+    out_schema = StructType(
+        [
+            StructField("new_id", StringType()),
+            StructField("seen_id", StringType()),
+            StructField("est_jaccard", DoubleType()),
+            StructField("band", IntegerType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(StringType())),
+            StructField("sigs", ArrayType(StringType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        band, _bucket = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=["new_id", "seen_id", "est_jaccard", "band"])
+            return
+        ids: list[str]
+        sig_lists: list[list[str]]
+        if state.exists:
+            stored_ids, stored_sigs = state.get
+            ids = list(stored_ids)
+            sig_lists = [s.split("|") for s in stored_sigs]
+        else:
+            ids, sig_lists = [], []
+        out = []
+        batch = pd.concat(list(pdfs))
+        # deterministic intra-batch order
+        batch = batch.sort_values("_id")
+        for new_id, sig in zip(batch["_id"], batch["_sig"]):
+            parts = sig.split("|")
+            for seen_id, seen_parts in zip(ids, sig_lists):
+                if seen_id == new_id:
+                    continue
+                est = sum(a == b for a, b in zip(parts, seen_parts)) / num_hashes
+                if est >= min_est_jaccard:
+                    out.append((new_id, seen_id, est, band))
+            ids.append(new_id)
+            sig_lists.append(parts)
+        # bounded state: keep the most recent max_state_docs
+        ids = ids[-max_state_docs:]
+        sig_lists = sig_lists[-max_state_docs:]
+        state.update((ids, ["|".join(p) for p in sig_lists]))
+        state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(out, columns=["new_id", "seen_id", "est_jaccard", "band"])
+
+    return banded.groupBy("band", "key").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -41,3 +41,49 @@ def test_stateful_sessionizer_closes_sessions_on_gap(spark, tmp_path):
     assert r["user_id"] == 1
     assert r["n_events"] == 2
     assert r["session_end_epoch"] - r["session_start_epoch"] == 300.0
+
+
+def test_streaming_minhash_neardup_finds_cross_batch_pairs(spark, tmp_path):
+    """Two micro-batches across a query RESTART (same checkpoint): a
+    near-duplicate arriving in batch 2 must collide with the batch-1 doc
+    held in bucket state; an unrelated doc must not. Parquet sink (memory
+    sink cannot recover from a checkpoint)."""
+    from deepblocker_spark.streaming.dedup_stream import streaming_minhash_neardup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    neardup = base + " again"
+    other = "completely different content about spark structured streaming state"
+    b1 = spark.createDataFrame([(100, base), (101, other)], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(200, neardup)], ["doc_id", "text"])
+    in_path = str(tmp_path / "nd_in")
+    out_path = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "ckpt_nd")
+    b1.coalesce(1).write.parquet(in_path)
+
+    def run_query():
+        q = (
+            streaming_minhash_neardup(
+                spark.readStream.schema(b1.schema).parquet(in_path),
+                num_hashes=16, n_bands=8, min_est_jaccard=0.5,
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_query()
+    got1 = spark.read.parquet(out_path).toPandas()
+    assert len(got1) == 0  # batch 1: nothing seen yet
+
+    b2.coalesce(1).write.parquet(in_path, mode="append")
+    run_query()  # restart from the SAME checkpoint: state must survive
+    got = (
+        spark.read.parquet(out_path).toPandas()
+        .drop_duplicates(["new_id", "seen_id"])
+    )
+    assert set(zip(got["new_id"], got["seen_id"])) == {("200", "100")}
+    assert (got["est_jaccard"] >= 0.5).all()
