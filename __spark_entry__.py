@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from deepblocker_spark.config import BlockerConfig
 from deepblocker_spark.functions.tokenizer import duckdb_tokens_sql, tokens_col
-from deepblocker_spark.operators.ann import lsh_topk
+from deepblocker_spark.operators.ann import ivf_topk, lsh_topk
 from deepblocker_spark.operators.cluster import connected_components
 from deepblocker_spark.operators.dedup import (
     minhash_lsh_pairs,
@@ -435,6 +435,30 @@ def q_lsh_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-flat ANN vs the exact top-K join. Centroids come from driver-side
+    # spherical k-means on a seeded deterministic sample (not
+    # SQL-expressible), so the oracle checks the same DERIVED PROPERTY as
+    # lsh_topk_emb: recall over the near-duplicate regime (exact top-5 pairs
+    # with sim >= 0.4) must be >= 0.95; the regime size is recomputed
+    # independently by DuckDB's own cosine + window top-5.
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = ivf_topk(emb, k=5, id_col="vec_id", emb_col="embedding",
+                      n_cells=8, nprobe=6)
+    exact = exact_topk_join(emb, emb, k=5, l_id="vec_id", r_id="vec_id",
+                            exclude_self=True)
+    hi = exact.filter(F.col("sim") >= 0.4)
+    hits = hi.join(approx.select("l_id", "r_id"), ["l_id", "r_id"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("_hits"))
+        .crossJoin(hi.agg(F.count("*").alias("_n")))
+        .select(
+            (F.col("_hits") >= F.col("_n") * 0.95).cast("bigint").alias("recall_ok"),
+            F.col("_n").cast("bigint").alias("n_highsim_pairs"),
+        )
+    )
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simhash fingerprints — full value oracle: DuckDB reproduces the
     # distinct-token md5 bit sign-sum with unnest(generate_series(0,63))
@@ -487,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "monthly_orders": q_monthly_orders,
         "lsh_topk_emb": q_lsh_topk_emb,
+        "ivf_topk_emb": q_ivf_topk_emb,
         "simhash_docs": q_simhash_docs,
         "flagship_blocking": q_flagship_blocking,
     }
@@ -833,6 +858,23 @@ group by 1
         # expected recall flag; the LSH hyperplanes themselves are seeded
         # PCG64, so Spark's side demonstrates the property holds.
         "lsh_topk_emb": """
+with sims as (
+  select a.vec_id as l_id, b.vec_id as r_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s
+  from embeddings a, embeddings b
+  where a.vec_id <> b.vec_id
+), ranked as (
+  select l_id, r_id, s,
+         row_number() over (partition by l_id order by s desc, r_id asc) as rank
+  from sims
+)
+select 1::BIGINT as recall_ok, count(*)::BIGINT as n_highsim_pairs
+from ranked where rank <= 5 and s >= 0.4
+""",
+        # ivf_topk_emb: derived-property oracle — identical regime/threshold
+        # to lsh_topk_emb (the IVF centroids are seeded k-means, not
+        # SQL-expressible; DuckDB recomputes the exact near-dup regime).
+        "ivf_topk_emb": """
 with sims as (
   select a.vec_id as l_id, b.vec_id as r_id,
          list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s

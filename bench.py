@@ -102,7 +102,7 @@ def _run_queries(spark) -> dict[str, float]:
 
 
 def _scaling_job(spark, parquet_path: str, limit: int | None = None,
-                 rows_hint: int | None = None) -> int:
+                 rows_hint: int | None = None, n_parts: int = 64) -> int:
     """The measured workload — the production blocking pipeline's candidate
     stage as `run_blocking_pipeline(pairing='auto')` selects it at this
     input size: preprocess -> SIF embed -> exact top-10 self-join (the
@@ -124,7 +124,7 @@ def _scaling_job(spark, parquet_path: str, limit: int | None = None,
     # at-scale deployment dictionary-encodes wide string keys before a
     # pair-producing stage (a pair row carries TWO keys; sha256 strings
     # quadruple the shuffle bytes for no information)
-    df = with_durable_id(src).withColumn("iid", F.xxhash64("id")).repartition(64)
+    df = with_durable_id(src).withColumn("iid", F.xxhash64("id")).repartition(n_parts)
     # persist the preprocessed text: the pipeline scans it twice (corpus
     # stats, embedding); materialized lazily by the first scan
     pre = preprocess_table(df, ["repo", "path", "lang", "content"], "iid").persist()
@@ -198,6 +198,19 @@ def _measure_scaling() -> dict:
     have_taskset = shutil.which("taskset") is not None
     repo_dir = os.path.dirname(os.path.abspath(__file__))
 
+    # Speculative execution in the measured sessions (both levels, same
+    # config): this host intermittently steals CPU from individual cores
+    # for tens of seconds; with 64 tasks on 16 cores a stage is 4 waves and
+    # every wave is gated by the slowest core (observed: engine local[16]
+    # 45-131 s across a 23-min degraded phase while an otherwise-identical
+    # run measures 14-21 s, and while the dynamically-load-balanced numpy
+    # pool control stayed flat). Speculation re-launches tasks >1.5x slower
+    # than the stage median on healthy cores — the same defense a real
+    # cluster uses against slow nodes. Settings tuned empirically: the
+    # gentle (2s, 2.0x, q0.9) variant beat no-speculation at BOTH levels
+    # (local[4] 37.8 vs 40.0 s, local[16] 13.1 vs 16.1 s) while the
+    # aggressive (1s, 1.5x, q0.75) variant taxed local[4] ~12% with
+    # wasted duplicate tasks on scarce cores.
     script = (
         "import sys, time, json\n"
         "sys.path.insert(0, %r)\n"
@@ -205,7 +218,11 @@ def _measure_scaling() -> dict:
         "from bench import _scaling_job\n"
         "cores = int(sys.argv[1])\n"
         "spark = get_spark(f'bench-scaling-{cores}', master=f'local[{cores}]',\n"
-        "                  shuffle_partitions=64, arrow_max_records=10_000)\n"
+        "                  shuffle_partitions=64, arrow_max_records=10_000,\n"
+        "                  extra_conf={'spark.speculation': 'true',\n"
+        "                              'spark.speculation.interval': '2s',\n"
+        "                              'spark.speculation.multiplier': '2.0',\n"
+        "                              'spark.speculation.quantile': '0.9'})\n"
         "_scaling_job(spark, %r, limit=500, rows_hint=500)\n"
         "t0 = time.perf_counter(); n = _scaling_job(spark, %r, rows_hint=%d)\n"
         "dt = time.perf_counter() - t0\n"
@@ -271,6 +288,29 @@ def _measure_scaling() -> dict:
     ctrl_lo = min(ctrl_times[lo]) if ctrl_times[lo] else None
     ctrl_hi = min(ctrl_times[hi]) if ctrl_times[hi] else None
 
+    def single_node_same_input() -> float:
+        """The faithful single-node implementation (reference formulas:
+        per-tuple token loop -> SIF aggregate -> full cosine matrix ->
+        per-row argsort[:K], vector_pairing_models.py:36-49) timed on the
+        SAME input the engine was just scaled on. Unpinned — the single
+        node gets the whole host, which only biases AGAINST the engine."""
+        import numpy as np
+
+        from tests.oracle import oracle_preprocess, oracle_sif_embed, oracle_sif_weights
+
+        merged = oracle_preprocess(pdf, ["repo", "path", "lang", "content"],
+                                   id_col="commit")["_merged_text"]
+        texts = list(merged)
+        t0 = time.perf_counter()
+        weights = oracle_sif_weights(texts)
+        emb = oracle_sif_embed(texts, 64, weights)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        x = (emb / np.maximum(norms, 1e-30)).astype(np.float32)
+        sims = x @ x.T
+        np.fill_diagonal(sims, -np.inf)
+        np.argsort(-sims, axis=1)[:, :10]
+        return round(time.perf_counter() - t0, 3)
+
     result: dict = {"rows": rows, "cores": [lo, hi], "pinned": have_taskset,
                     "rounds": len(times[lo]),
                     f"local{lo}_times": times[lo], f"local{hi}_times": times[hi],
@@ -304,6 +344,17 @@ def _measure_scaling() -> dict:
         )
     else:
         result["efficiency"] = result["efficiency_raw"]
+    try:
+        # Match-or-beat artifact: the engine's pinned local[16] time vs the
+        # single-node reference implementation at the SAME data scale. Runs
+        # AFTER all scaling rounds so it cannot pollute the measurement.
+        sn = single_node_same_input()
+        result["single_node_same_input_seconds"] = sn
+        result["spark_vs_single_node"] = round(sn / t_hi, 2)
+        print(f"# single-node same input: {sn:.2f}s vs engine local[{hi}] "
+              f"{t_hi:.2f}s -> {sn / t_hi:.2f}x", file=sys.stderr)
+    except Exception as e:  # informational; never fail the bench
+        result["single_node_same_input_error"] = str(e)[:200]
     return result
 
 

@@ -19,6 +19,8 @@ from deepblocker_spark.pipeline import (
     SparkHybridEmbedding,
     SparkSIFEmbedding,
 )
+from deepblocker_spark.operators.ann import IVFVectorPairing
+from deepblocker_spark.operators.lsh import LSHVectorPairing
 from deepblocker_spark.operators.topk import ExactTopKVectorPairing
 
 __all__ = [
@@ -32,4 +34,6 @@ __all__ = [
     "SparkHybridEmbedding",
     "SparkSIFEmbedding",
     "ExactTopKVectorPairing",
+    "LSHVectorPairing",
+    "IVFVectorPairing",
 ]

@@ -1,11 +1,14 @@
 """spark-submit entrypoint (north_rule: "ships as a spark-submit --py-files
 job"). Runs the checkpointed ER pipeline end to end:
 
-  spark-submit --py-files deepblocker_spark.zip -m deepblocker_spark \\
+  # run.py: from deepblocker_spark.__main__ import main; sys.exit(main())
+  spark-submit --py-files deepblocker_spark.zip run.py \\
       --input /data/repo_files.parquet --checkpoint-dir /data/ckpt/run1 \\
       --cols repo,path,lang,content --k 20 --output /data/clusters.parquet
 
 or locally: python -m deepblocker_spark --input ... --checkpoint-dir ...
+Exercised end-to-end (real spark-submit binary, package imported from the
+zip alone) by tests/test_spark_submit_e2e.py.
 """
 
 from __future__ import annotations

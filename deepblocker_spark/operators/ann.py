@@ -93,41 +93,26 @@ def _train_centroids(
     return cents
 
 
-def ivf_topk(
+def _assign_cells(
     df: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    emb_col: str = "embedding",
-    dim: int = 64,
-    n_cells: int = 16,
-    nprobe: int = 3,
-    seed: int = 1234,
-) -> DataFrame:
-    """IVF-flat approximate top-k self-search: assign every vector to its
-    nearest centroid cell, probe each query's ``nprobe`` closest cells, and
-    search exactly within the probed cells. One shuffle on cell id; work per
-    cell is bounded by cell size x probes — the standard ANN scale shape.
-
-    -> (l_id, r_id, sim, rank), rank<=k per l_id, self-pairs excluded.
-    """
+    id_col: str,
+    emb_col: str,
+    cents_bc,
+    nprobe: int,
+    emit_home: bool,
+    emit_probes: bool,
+):
+    """Cell assignment as a vectorized mapInPandas pass: every row gets its
+    home cell (role 0 = index row) and/or its ``nprobe`` closest cells
+    (role 1 = query row). Self-search emits both from ONE scan; dyadic
+    search runs this once per side."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql import Window
-    from pyspark.sql.types import (
-        DoubleType,
-        IntegerType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     from deepblocker_spark.operators.topk import normalize_rows
 
-    spark = df.sparkSession
-    cents = _train_centroids(df, id_col, emb_col, n_cells, seed)
-    cents_bc = spark.sparkContext.broadcast(cents)
     id_type = df.select(id_col).schema.fields[0].dataType
-
-    # role 0 = index row (home cell only); role 1 = query row (nprobe cells)
     assign_schema = StructType(
         [
             StructField("_id", id_type, True),
@@ -145,17 +130,21 @@ def ivf_topk(
             x = normalize_rows(np.nan_to_num(np.stack(pdf[emb_col].to_numpy()).astype(np.float64)))
             sims = x @ c.T
             p = min(nprobe, sims.shape[1])
-            probes = np.argpartition(-sims, p - 1, axis=1)[:, :p]
-            home = np.argmax(sims, axis=1)
             n = len(pdf)
-            out_id, out_cell, out_role = [], [], []
-            out_id.append(pdf[id_col].to_numpy())
-            out_cell.append(home.astype(np.int32))
-            out_role.append(np.zeros(n, dtype=np.int32))
-            for j in range(p):
+            out_id, out_cell, out_role, copies = [], [], [], 0
+            if emit_home:
+                home = np.argmax(sims, axis=1)
                 out_id.append(pdf[id_col].to_numpy())
-                out_cell.append(probes[:, j].astype(np.int32))
-                out_role.append(np.ones(n, dtype=np.int32))
+                out_cell.append(home.astype(np.int32))
+                out_role.append(np.zeros(n, dtype=np.int32))
+                copies += 1
+            if emit_probes:
+                probes = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+                for j in range(p):
+                    out_id.append(pdf[id_col].to_numpy())
+                    out_cell.append(probes[:, j].astype(np.int32))
+                    out_role.append(np.ones(n, dtype=np.int32))
+                copies += p
             frame = pd.DataFrame(
                 {
                     "_id": np.concatenate(out_id),
@@ -163,10 +152,32 @@ def ivf_topk(
                     "_role": np.concatenate(out_role),
                 }
             )
-            frame["_emb"] = list(pdf[emb_col]) * (p + 1)
+            frame["_emb"] = list(pdf[emb_col]) * copies
             yield frame
 
-    assigned = df.select(id_col, emb_col).mapInPandas(assign, assign_schema)
+    return df.select(id_col, emb_col).mapInPandas(assign, assign_schema)
+
+
+def _ivf_pairs(
+    assigned: DataFrame,
+    k: int,
+    id_type,
+    mask_equal_ids: bool,
+) -> DataFrame:
+    """Probed-cell exact search over the union of role-tagged assignments.
+    Two shuffles total: one on cell id (sort-based grouped map,
+    operators/grouped.py) and one fused dedup(keep-max)+top-K merge — a
+    probe pair can surface from several probed cells with identical sim."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from deepblocker_spark.operators.grouped import (
+        group_slices,
+        grouped_map_in_pandas,
+        topk_per_key,
+    )
+    from deepblocker_spark.operators.topk import normalize_rows
 
     pair_schema = StructType(
         [
@@ -176,35 +187,125 @@ def ivf_topk(
         ]
     )
 
-    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
-        queries = pdf[pdf["_role"] == 1]
-        index = pdf[pdf["_role"] == 0]
-        if not len(queries) or not len(index):
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Per-cell exact search over a frame of WHOLE cells (sort-based
+        grouped map — one Python call per ~batch, not per cell)."""
+        outs = []
+        roles = pdf["_role"].to_numpy()
+        for a, b in group_slices(pdf, ["cell"]):
+            g_roles = roles[a:b]
+            q_idx = np.nonzero(g_roles == 1)[0] + a
+            i_idx = np.nonzero(g_roles == 0)[0] + a
+            if not len(q_idx) or not len(i_idx):
+                continue
+            qids = pdf["_id"].to_numpy()[q_idx]
+            iids = pdf["_id"].to_numpy()[i_idx]
+            qx = normalize_rows(np.nan_to_num(
+                np.stack(pdf["_emb"].iloc[q_idx].to_numpy()).astype(np.float64)))
+            ix = normalize_rows(np.nan_to_num(
+                np.stack(pdf["_emb"].iloc[i_idx].to_numpy()).astype(np.float64)))
+            sims = qx @ ix.T
+            if mask_equal_ids:
+                sims[qids[:, None] == iids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] if kk < sims.shape[1] \
+                else np.broadcast_to(np.arange(sims.shape[1]), sims.shape).copy()
+            rows = np.repeat(np.arange(len(qids)), part.shape[1])
+            cols = part.ravel()
+            s = sims[rows, cols]
+            keep = s > -np.inf
+            outs.append(pd.DataFrame(
+                {"l_id": qids[rows[keep]], "r_id": iids[cols[keep]], "sim": s[keep]}
+            ))
+        if not outs:
             return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
-        qids = queries["_id"].to_numpy()
-        iids = index["_id"].to_numpy()
-        qx = normalize_rows(np.nan_to_num(np.stack(queries["_emb"].to_numpy()).astype(np.float64)))
-        ix = normalize_rows(np.nan_to_num(np.stack(index["_emb"].to_numpy()).astype(np.float64)))
-        sims = qx @ ix.T
-        sims[qids[:, None] == iids[None, :]] = -np.inf
-        kk = min(k, sims.shape[1])
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] if kk < sims.shape[1] \
-            else np.broadcast_to(np.arange(sims.shape[1]), sims.shape).copy()
-        rows = np.repeat(np.arange(len(qids)), part.shape[1])
-        cols = part.ravel()
-        s = sims[rows, cols]
-        keep = s > -np.inf
-        return pd.DataFrame({"l_id": qids[rows[keep]], "r_id": iids[cols[keep]], "sim": s[keep]})
+        return pd.concat(outs, ignore_index=True)
 
-    pairs = (
-        assigned.groupBy("cell")
-        .applyInPandas(per_cell, pair_schema)
-        .dropDuplicates(["l_id", "r_id"])
-    )
-    from pyspark.sql import functions as FF
+    pairs = grouped_map_in_pandas(assigned, ["cell"], cell_kernel, pair_schema)
+    return topk_per_key(pairs, k)
 
-    w = Window.partitionBy("l_id").orderBy(FF.desc("sim"), FF.asc("r_id"))
-    return pairs.withColumn("rank", FF.row_number().over(w)).filter(FF.col("rank") <= k)
+
+def ivf_topk(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 3,
+    seed: int = 1234,
+) -> DataFrame:
+    """IVF-flat approximate top-k SELF-search: assign every vector to its
+    nearest centroid cell, probe each query's ``nprobe`` closest cells, and
+    search exactly within the probed cells; work per cell is bounded by
+    cell size x probes — the standard ANN scale shape. One assignment scan
+    emits both roles.
+
+    -> (l_id, r_id, sim, rank), rank<=k per l_id, self-pairs excluded.
+    """
+    spark = df.sparkSession
+    cents = _train_centroids(df, id_col, emb_col, n_cells, seed)
+    cents_bc = spark.sparkContext.broadcast(cents)
+    assigned = _assign_cells(df, id_col, emb_col, cents_bc, nprobe,
+                             emit_home=True, emit_probes=True)
+    id_type = df.select(id_col).schema.fields[0].dataType
+    return _ivf_pairs(assigned, k, id_type, mask_equal_ids=True)
+
+
+def ivf_topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 10,
+    l_id: str = "vec_id",
+    r_id: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 3,
+    seed: int = 1234,
+) -> DataFrame:
+    """Dyadic IVF-flat: centroids train on the INDEX side (right), right
+    rows land in their home cell only, every left query probes its
+    ``nprobe`` nearest cells. Same two-shuffle plan as the self path.
+    -> (l_id, r_id, sim, rank), rank<=k per left row."""
+    spark = left.sparkSession
+    cents = _train_centroids(right, r_id, emb_col, n_cells, seed)
+    cents_bc = spark.sparkContext.broadcast(cents)
+    index = _assign_cells(right, r_id, emb_col, cents_bc, nprobe,
+                          emit_home=True, emit_probes=False)
+    queries = _assign_cells(left, l_id, emb_col, cents_bc, nprobe,
+                            emit_home=False, emit_probes=True)
+    id_type = left.select(l_id).schema.fields[0].dataType
+    return _ivf_pairs(index.unionByName(queries), k, id_type,
+                      mask_equal_ids=False)
+
+
+class IVFVectorPairing:
+    """IVF-flat behind the same index/query seam as ExactTopKVectorPairing /
+    LSHVectorPairing (the reference's vector_pairing_models.py:7-18 ABC):
+    self mode when query() receives the indexed DataFrame itself, dyadic
+    (train-on-index, probe-from-query) otherwise."""
+
+    def __init__(self, k: int = 50, n_cells: int = 16, nprobe: int = 3,
+                 seed: int = 1234):
+        self.k, self.n_cells, self.nprobe, self.seed = k, n_cells, nprobe, seed
+        self.exclude_self = True  # self mode never emits self-pairs
+
+    def index(self, right: DataFrame, r_id: str = "id", emb_col: str = "embedding"):
+        self._right, self._r_id, self._emb = right, r_id, emb_col
+        return self
+
+    def query(self, left: DataFrame, l_id: str = "id", emb_col: str | None = None) -> DataFrame:
+        if left is self._right:
+            return ivf_topk(
+                self._right, k=self.k, id_col=self._r_id,
+                emb_col=emb_col or self._emb, n_cells=self.n_cells,
+                nprobe=self.nprobe, seed=self.seed,
+            )
+        return ivf_topk_join(
+            left, self._right, k=self.k, l_id=l_id, r_id=self._r_id,
+            emb_col=emb_col or self._emb, n_cells=self.n_cells,
+            nprobe=self.nprobe, seed=self.seed,
+        )
 
 
 def recall_at_k(approx: DataFrame, exact: DataFrame) -> DataFrame:

@@ -238,39 +238,75 @@ def streaming_minhash_neardup(
     )
 
     def update(key, pdfs, state: GroupState):
+        import numpy as np
+
         band, _bucket = key
         if state.hasTimedOut:
             state.remove()
             yield pd.DataFrame(columns=["new_id", "seen_id", "est_jaccard", "band"])
             return
-        ids: list[str]
-        sig_lists: list[list[str]]
+
+        def sig_matrix(sig_strs) -> np.ndarray:
+            # components are hash strings; a fixed-width numpy string array
+            # keeps the equality comparisons below vectorized in C
+            if not len(sig_strs):
+                return np.empty((0, num_hashes), dtype="U1")
+            return np.array([s.split("|") for s in sig_strs])
+
         if state.exists:
             stored_ids, stored_sigs = state.get
             ids = list(stored_ids)
-            sig_lists = [s.split("|") for s in stored_sigs]
+            sigs_stored = sig_matrix(stored_sigs)
+            stored_strs = list(stored_sigs)
         else:
-            ids, sig_lists = [], []
-        out = []
-        batch = pd.concat(list(pdfs))
-        # deterministic intra-batch order
-        batch = batch.sort_values("_id")
-        for new_id, sig in zip(batch["_id"], batch["_sig"]):
-            parts = sig.split("|")
-            for seen_id, seen_parts in zip(ids, sig_lists):
-                if seen_id == new_id:
-                    continue
-                est = sum(a == b for a, b in zip(parts, seen_parts)) / num_hashes
-                if est >= min_est_jaccard:
-                    out.append((new_id, seen_id, est, band))
-            ids.append(new_id)
-            sig_lists.append(parts)
+            ids, stored_strs = [], []
+            sigs_stored = np.empty((0, num_hashes), dtype=np.int64)
+
+        batch = pd.concat(list(pdfs)).sort_values("_id")  # deterministic order
+        new_ids = batch["_id"].to_numpy()
+        new_strs = list(batch["_sig"])
+        sigs_new = sig_matrix(new_strs)
+
+        # Vectorized collision estimates ("no per-row Python" discipline —
+        # input_hint): fraction of agreeing minhash components, the standard
+        # unbiased Jaccard estimate, as two matrix comparisons.
+        frames = []
+        if len(sigs_stored) and len(sigs_new):
+            # new vs stored state
+            est = (sigs_new[:, None, :] == sigs_stored[None, :, :]).mean(axis=2)
+            seen_arr = np.asarray(ids, dtype=object)
+            hit = (est >= min_est_jaccard) & (new_ids[:, None] != seen_arr[None, :])
+            i, j = np.nonzero(hit)
+            if len(i):
+                frames.append(pd.DataFrame(
+                    {"new_id": new_ids[i], "seen_id": seen_arr[j],
+                     "est_jaccard": est[i, j]}
+                ))
+        if len(sigs_new) > 1:
+            # intra-batch: doc i sees only earlier docs j < i (arrival order)
+            est = (sigs_new[:, None, :] == sigs_new[None, :, :]).mean(axis=2)
+            lower = np.tri(len(sigs_new), k=-1, dtype=bool)
+            hit = lower & (est >= min_est_jaccard) & (
+                new_ids[:, None] != new_ids[None, :]
+            )
+            i, j = np.nonzero(hit)
+            if len(i):
+                frames.append(pd.DataFrame(
+                    {"new_id": new_ids[i], "seen_id": new_ids[j],
+                     "est_jaccard": est[i, j]}
+                ))
+
         # bounded state: keep the most recent max_state_docs
-        ids = ids[-max_state_docs:]
-        sig_lists = sig_lists[-max_state_docs:]
-        state.update((ids, ["|".join(p) for p in sig_lists]))
+        all_ids = ids + list(new_ids)
+        all_strs = stored_strs + new_strs
+        state.update((all_ids[-max_state_docs:], all_strs[-max_state_docs:]))
         state.setTimeoutDuration(state_timeout_ms)
-        yield pd.DataFrame(out, columns=["new_id", "seen_id", "est_jaccard", "band"])
+        if frames:
+            out = pd.concat(frames, ignore_index=True)
+            out["band"] = band
+            yield out
+        else:
+            yield pd.DataFrame(columns=["new_id", "seen_id", "est_jaccard", "band"])
 
     return banded.groupBy("band", "key").applyInPandasWithState(
         update, out_schema, state_schema, "append",

@@ -5,7 +5,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from deepblocker_spark.operators.ann import brute_force_topk, ivf_topk, recall_at_k
+from deepblocker_spark.operators.ann import (
+    IVFVectorPairing,
+    brute_force_topk,
+    ivf_topk,
+    ivf_topk_join,
+    recall_at_k,
+)
 from deepblocker_spark.operators.lsh import LSHVectorPairing, lsh_candidates_dyadic
 from deepblocker_spark.operators.topk import exact_topk_join
 
@@ -56,3 +62,31 @@ def test_ivf_topk_recall_vs_exact(spark):
     pdf = approx.toPandas()
     assert (pdf["l_id"] != pdf["r_id"]).all()
     assert pdf.groupby("l_id")["rank"].max().max() <= 4
+
+
+def test_dyadic_ivf_recall_vs_exact(spark):
+    left = _clustered(spark, 10, 4, seed=31)
+    right = _clustered(spark, 10, 4, seed=31, id_start=1000)  # same centers
+    exact = exact_topk_join(left, right, k=3, l_id="id", r_id="id")
+    approx = ivf_topk_join(left, right, k=3, l_id="id", r_id="id",
+                           emb_col="embedding", n_cells=6, nprobe=4, seed=9)
+    r = recall_at_k(approx, exact).collect()[0]
+    assert r["recall_at_k"] >= 0.85, r
+    pdf = approx.toPandas()
+    assert (pdf["l_id"] < 1000).all()
+    assert (pdf["r_id"] >= 1000).all()
+    assert pdf.groupby("l_id")["rank"].max().max() <= 3
+
+
+def test_ivf_pairing_dispatches_dyadic_and_self(spark):
+    left = _clustered(spark, 6, 3, seed=32)
+    right = _clustered(spark, 6, 3, seed=32, id_start=500)
+    pairing = IVFVectorPairing(k=3, n_cells=4, nprobe=3, seed=9)
+    pairing.index(right, r_id="id")
+    out = pairing.query(left, l_id="id").toPandas()
+    assert (out["l_id"] < 500).all()
+    assert (out["r_id"] >= 500).all()
+    # self mode: query(indexed df) excludes self-pairs
+    pairing.index(right, r_id="id")
+    self_out = pairing.query(right, l_id="id").toPandas()
+    assert (self_out["l_id"] != self_out["r_id"]).all()
