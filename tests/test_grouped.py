@@ -13,16 +13,20 @@ from pyspark.sql.types import (
 )
 
 from deepblocker_spark.operators.grouped import grouped_map_in_pandas, topk_per_key
-from deepblocker_spark.session import get_spark
+
+_ARROW_BATCH = "spark.sql.execution.arrow.maxRecordsPerBatch"
 
 
 @pytest.fixture(scope="module")
-def tiny_batch_spark():
-    # arrow_max_records=7: forces many groups to SPAN batch boundaries
-    s = get_spark("grouped-tests", master="local[4]", shuffle_partitions=4,
-                  arrow_max_records=7)
-    yield s
-    s.stop()
+def tiny_batch_spark(spark):
+    # arrow batches of 7: forces many groups to SPAN batch boundaries.
+    # Set on the SHARED session (runtime-modifiable conf) and restored after
+    # — a get_spark() here would getOrCreate() the shared session and the
+    # module-teardown stop() would kill it for every later test file.
+    prev = spark.conf.get(_ARROW_BATCH)
+    spark.conf.set(_ARROW_BATCH, 7)
+    yield spark
+    spark.conf.set(_ARROW_BATCH, prev)
 
 
 def test_grouped_map_groups_survive_batch_boundaries(tiny_batch_spark):
