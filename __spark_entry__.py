@@ -165,6 +165,24 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_cosine_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's PRIMARY call shape (deep_blocker.py:48-74: index right,
+    # query left over two distinct tables) as a value-oracled query: the
+    # embeddings table split into disjoint halves by vec_id parity, exact
+    # top-5 left->right. Same kernel as topk_cosine; no self-exclusion
+    # needed (id spaces are disjoint by construction).
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    right = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    out = exact_topk_join(
+        left, right, k=5, l_id="vec_id", r_id="vec_id", emb_col="embedding",
+    )
+    return out.select(
+        "l_id", "r_id", F.round("sim", 6).alias("sim"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-cosine near-duplicate pairs via the broadcast-matmul kernel
     # (a crossJoin + Column-expression cosine computes the same result but
@@ -494,6 +512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "topk_cosine": q_topk_cosine,
+        "topk_cosine_dyadic": q_topk_cosine_dyadic,
         "emb_neardup": q_emb_neardup,
         "knn_recall": q_knn_recall,
         "cc_components": q_cc_components,
@@ -649,6 +668,20 @@ with sims as (
 select l_id, r_id, round(s, 6) as sim, rank from ranked where rank <= 10
 """
 
+    topk_dyadic_sql = """
+with sims as (
+  select a.vec_id as l_id, b.vec_id as r_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s
+  from embeddings a, embeddings b
+  where a.vec_id % 2 = 0 and b.vec_id % 2 = 1
+), ranked as (
+  select l_id, r_id, s,
+         row_number() over (partition by l_id order by s desc, r_id asc) as rank
+  from sims
+)
+select l_id, r_id, round(s, 6) as sim, rank from ranked where rank <= 5
+"""
+
     neardup_sql = """
 select a.vec_id as a, b.vec_id as b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) as cos
@@ -738,6 +771,7 @@ select doc_id, {_minhash_cols_sql(8)} from t
         "minhash_pairs": minhash_pairs_sql,
         "ngram_jaccard": ngram_sql,
         "topk_cosine": topk_sql,
+        "topk_cosine_dyadic": topk_dyadic_sql,
         "emb_neardup": neardup_sql,
         "knn_recall": knn_recall_sql,
         "cc_components": cc_sql,

@@ -32,7 +32,10 @@ os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")  # see deepblocker_spark/__
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# 16 workers, not 32: the host's sustained CPU entitlement is ~8 cores (see
+# _measure_scaling), so local[32] oversubscribes into throttling — measured
+# suite 15.0s at 32 vs 12.6s at 16 vs 13.1s at 8 on the same host phase.
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "16")
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000"))
 
 # minhash_pairs / ngram_jaccard are excluded here: the synthetic documents

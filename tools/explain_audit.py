@@ -116,6 +116,28 @@ def main() -> None:
     )
     qs["lsh_candidates"] = lambda *_: lsh_plan_df
 
+    # IVF-flat ANN: the per-cell search and the fused dedup+top-K merge are
+    # both sort-based grouped maps (MapInPandas after a hash repartition) —
+    # NO per-group applyInPandas (FlatMapGroupsInPandas) and no join at all;
+    # the only wide operations are the two hash exchanges (cell, l_id).
+    from deepblocker_spark.operators.ann import ivf_topk
+
+    ivf_plan_df = ivf_topk(
+        emb_tbl, k=5, id_col="vec_id", emb_col="embedding",
+        n_cells=8, nprobe=3, seed=3,
+    )
+    audits["ivf_topk"] = (
+        ["MapInPandas", "!FlatMapGroupsInPandas", "!SortMergeJoin",
+         "!BroadcastHashJoin", "hashpartitioning(cell",
+         "hashpartitioning(l_id",
+         "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
+        "both grouped stages are sort-based grouped maps (one Python call "
+        "per batch of whole groups, not per group); no joins anywhere; "
+        "exactly the two hash exchanges (cell, then l_id) that the "
+        "algorithm requires; scan pruned to (id, embedding)",
+    )
+    qs["ivf_topk"] = lambda *_: ivf_plan_df
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
