@@ -45,6 +45,7 @@ SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000"))
 BENCH_QUERIES = [
     "flagship_blocking",
     "topk_cosine",
+    "topk_cosine_dyadic",
     "minhash_sig",
     "doc_profile",
     "q1_pricing",
