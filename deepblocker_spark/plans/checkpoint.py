@@ -54,6 +54,44 @@ def content_fingerprint(df: DataFrame, key_cols: list[str]) -> int:
     return int((int(row["s"] or 0)) % (2**63)) ^ int(row["n"])
 
 
+def partition_stats(df: DataFrame, key_cols: list[str]):
+    """Per-partition lineage metrics in ONE aggregation job (north_rule:
+    "checkpoints ... per partition with lineage + metrics"): for each read
+    partition of the checkpoint, its row count and order-insensitive
+    fingerprint; plus the global (rows, fingerprint) derived from the same
+    pass — the global fingerprint is bit-identical to content_fingerprint().
+
+    Partition ids reflect how the checkpoint READS back (the layout a
+    resume actually consumes), which is the operationally relevant unit;
+    the per-partition list is lineage metrics, while resume integrity is
+    gated on the global values (read partitioning can legally change with
+    scan configuration)."""
+    h = df.select(
+        F.spark_partition_id().alias("pid"),
+        F.xxhash64(*[F.col(c) for c in key_cols]).alias("h"),
+    )
+    rows = (
+        h.groupBy("pid")
+        .agg(
+            F.sum(F.col("h").cast("decimal(38,0)")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("pid")
+        .collect()
+    )
+    parts = [
+        {
+            "pid": int(r["pid"]),
+            "rows": int(r["n"]),
+            "fingerprint": int(int(r["s"] or 0) % (2**63)) ^ int(r["n"]),
+        }
+        for r in rows
+    ]
+    total_s = sum(int(r["s"] or 0) for r in rows)
+    total_n = sum(int(r["n"]) for r in rows)
+    return parts, int(total_s % (2**63)) ^ total_n, total_n
+
+
 class CheckpointManager:
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
@@ -107,13 +145,17 @@ class CheckpointManager:
         df.write.mode("overwrite").parquet(data_path)
         out = self.spark.read.parquet(data_path)
         wall = time.perf_counter() - t0
+        # one aggregation pass yields rows, the global fingerprint AND the
+        # per-partition lineage metrics (previously two separate jobs)
+        parts, fingerprint, n_rows = partition_stats(out, key_cols)
         man = {
             "stage": name,
-            "rows": out.count(),
-            "n_partitions": out.rdd.getNumPartitions(),
+            "rows": n_rows,
+            "n_partitions": len(parts),
+            "partitions": parts,
             "schema": out.schema.jsonValue(),
             "key_cols": key_cols,
-            "content_fingerprint": content_fingerprint(out, key_cols),
+            "content_fingerprint": fingerprint,
             "wall_seconds": round(wall, 3),
             "written_at_ns": time.time_ns(),
             "parents": parents or [],

@@ -88,6 +88,17 @@ def test_manifest_contents_and_verify(spark, repo_df, tmp_path):
     assert man["parents"] == ["embeddings"]
     assert man["rows"] > 0
     assert man["key_cols"] == ["l_id", "r_id"]
+    # per-partition lineage (north_rule): partition rows sum to the stage
+    # total; every entry carries its own fingerprint; the global fingerprint
+    # is consistent with the independent content_fingerprint() computation
+    parts = man["partitions"]
+    assert len(parts) == man["n_partitions"] >= 1
+    assert sum(p["rows"] for p in parts) == man["rows"]
+    assert all("fingerprint" in p for p in parts)
+    from deepblocker_spark.plans.checkpoint import content_fingerprint
+
+    df_back = spark.read.parquet(os.path.join(base, "candidates", "data.parquet"))
+    assert content_fingerprint(df_back, ["l_id", "r_id"]) == man["content_fingerprint"]
     assert ckpt.verify("candidates")
     assert ckpt.verify("embeddings")
     lineage = ckpt.lineage()
