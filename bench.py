@@ -91,7 +91,7 @@ def _run_queries(spark) -> dict[str, float]:
     _warm_up(spark)
     qs = entrymod.queries()
     timings: dict[str, float] = {}
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name in BENCH_QUERIES:
         best, n = None, 0
         for _ in range(repeats):
@@ -275,7 +275,7 @@ def _measure_scaling() -> dict:
     # max_rounds) until each engine level has two runs within 15% of its
     # own minimum — evidence the minimum is a real clean-window time, not
     # a lucky outlier, and that the level was actually measured.
-    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "6"))
+    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "8"))
 
     def stable(ts: list[float]) -> bool:
         if len(ts) < 2:
