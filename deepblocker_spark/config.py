@@ -54,7 +54,10 @@ class BlockerConfig:
     lsh_n_bands: int = 8
     lsh_band_bits: int = 12
     lsh_max_bucket_rows: int = 5_000
-    ivf_n_cells: int = 64
+    # None = auto-size n_cells to ~sqrt(N) from the embeddings manifest row
+    # count (a fixed cell count degenerates as the corpus grows); set an int
+    # to override.
+    ivf_n_cells: int | None = None
     ivf_nprobe: int = 8
     # CTT/Hybrid inference mode: 'as_written' reproduces the reference quirk
     # (tuple_embedding_models.py:271-273 returns the aggregator embedding and

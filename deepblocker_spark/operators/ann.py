@@ -158,19 +158,58 @@ def _assign_cells(
     return df.select(id_col, emb_col).mapInPandas(assign, assign_schema)
 
 
+# Persisted assignment frames awaiting release — same lifecycle as
+# operators/lsh._SIG_CACHES: the assignment frame is computed ONCE and
+# consumed by both the cell-size aggregation and the search kernel; callers
+# release after their action (the pipeline does so at the candidates stage
+# boundary), ContextCleaner is the GC backstop.
+_ASSIGN_CACHES: list[DataFrame] = []
+
+
+def release_assignment_caches() -> None:
+    """Unpersist assignment frames cached by ivf_topk / ivf_topk_join."""
+    while _ASSIGN_CACHES:
+        _ASSIGN_CACHES.pop().unpersist()
+
+
+def _auto_n_cells(rows: int) -> int:
+    """~sqrt(N) cells, floored at 16 and capped at 4096 — the standard IVF
+    sizing rule (cells ~ sqrt(N) balances probe cost against cell size)."""
+    return min(4096, max(16, int(rows ** 0.5)))
+
+
 def _ivf_pairs(
     assigned: DataFrame,
     k: int,
     id_type,
     mask_equal_ids: bool,
+    max_cell_rows: int = 5_000,
 ) -> DataFrame:
     """Probed-cell exact search over the union of role-tagged assignments.
-    Two shuffles total: one on cell id (sort-based grouped map,
-    operators/grouped.py) and one fused dedup(keep-max)+top-K merge — a
-    probe pair can surface from several probed cells with identical sim."""
+    Two shuffles total: one on (cell, salt_q, salt_i) (sort-based grouped
+    map, operators/grouped.py) and one fused dedup(keep-max)+top-K merge — a
+    probe pair can surface from several probed cells with identical sim.
+
+    Hot cells are GRID salt-split, never truncated (VERDICT r2 #1 — the same
+    fix the dyadic LSH path got in r1 for hot buckets): a cell whose query
+    or index role exceeds ``max_cell_rows`` becomes an SQ x SI grid of tasks
+    keyed (cell, salt_q, salt_i) with SQ = ceil(n_queries/max_cell_rows) and
+    SI = ceil(n_index/max_cell_rows). Each query row lands in its hash split
+    salt_q and is replicated across all SI index splits (index rows
+    symmetrically), so every (query, index) pair of the cell is examined
+    exactly once: per-task cross-products are bounded by max_cell_rows^2
+    with ZERO recall loss vs the unsplit cell. A skewed corpus collapsing
+    into one mega-cell (boilerplate/empty docs — FIXTURES.md F1) therefore
+    fans out instead of serializing on one unbounded task. The assignment
+    frame is persisted and the (tiny, <= n_cells rows) oversized list is
+    collected from a narrow projection — one assignment pass total; when no
+    cell is oversized the salts are literal zeros and the plan keeps its
+    two-exchange shape with no join.
+    """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark import StorageLevel
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     from deepblocker_spark.operators.grouped import (
         group_slices,
@@ -178,6 +217,54 @@ def _ivf_pairs(
         topk_per_key,
     )
     from deepblocker_spark.operators.topk import normalize_rows
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    _ASSIGN_CACHES.append(assigned)
+    over = (
+        assigned.select("cell", "_role")
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("_role") == 1, 1).otherwise(0)).alias("nq"),
+            F.sum(F.when(F.col("_role") == 0, 1).otherwise(0)).alias("ni"),
+        )
+        .filter((F.col("nq") > max_cell_rows) | (F.col("ni") > max_cell_rows))
+        .collect()
+    )
+    if over:
+        ceil = lambda n: -(-int(n) // max_cell_rows)  # noqa: E731
+        splits = assigned.sparkSession.createDataFrame(
+            [(int(r["cell"]), max(1, ceil(r["nq"])), max(1, ceil(r["ni"]))) for r in over],
+            StructType(
+                [
+                    StructField("cell", IntegerType(), False),
+                    StructField("_sq", IntegerType(), False),
+                    StructField("_si", IntegerType(), False),
+                ]
+            ),
+        )
+        is_q = F.col("_role") == 1
+        salted = (
+            assigned.join(F.broadcast(splits), ["cell"], "left")
+            .withColumn("_own", F.coalesce(F.when(is_q, F.col("_sq")).otherwise(F.col("_si")), F.lit(1)))
+            .withColumn("_other", F.coalesce(F.when(is_q, F.col("_si")).otherwise(F.col("_sq")), F.lit(1)))
+            .withColumn("_my", F.pmod(F.xxhash64(F.col("_id")), F.col("_own")).cast("int"))
+            .withColumn(
+                "_rep",
+                F.explode(F.sequence(F.lit(0), (F.col("_other") - 1).cast("int"))),
+            )
+            .select(
+                "_id", "cell",
+                F.when(is_q, F.col("_my")).otherwise(F.col("_rep")).alias("salt_q"),
+                F.when(is_q, F.col("_rep")).otherwise(F.col("_my")).alias("salt_i"),
+                "_role", "_emb",
+            )
+        )
+    else:
+        salted = assigned.select(
+            "_id", "cell",
+            F.lit(0).alias("salt_q"), F.lit(0).alias("salt_i"),
+            "_role", "_emb",
+        )
 
     pair_schema = StructType(
         [
@@ -188,11 +275,12 @@ def _ivf_pairs(
     )
 
     def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        """Per-cell exact search over a frame of WHOLE cells (sort-based
-        grouped map — one Python call per ~batch, not per cell)."""
+        """Per-(cell, salt_q, salt_i) exact search over a frame of WHOLE
+        groups (sort-based grouped map — one Python call per ~batch, not per
+        cell)."""
         outs = []
         roles = pdf["_role"].to_numpy()
-        for a, b in group_slices(pdf, ["cell"]):
+        for a, b in group_slices(pdf, ["cell", "salt_q", "salt_i"]):
             g_roles = roles[a:b]
             q_idx = np.nonzero(g_roles == 1)[0] + a
             i_idx = np.nonzero(g_roles == 0)[0] + a
@@ -221,7 +309,9 @@ def _ivf_pairs(
             return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
         return pd.concat(outs, ignore_index=True)
 
-    pairs = grouped_map_in_pandas(assigned, ["cell"], cell_kernel, pair_schema)
+    pairs = grouped_map_in_pandas(
+        salted, ["cell", "salt_q", "salt_i"], cell_kernel, pair_schema
+    )
     return topk_per_key(pairs, k)
 
 
@@ -231,25 +321,35 @@ def ivf_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 3,
     seed: int = 1234,
+    max_cell_rows: int = 5_000,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k SELF-search: assign every vector to its
     nearest centroid cell, probe each query's ``nprobe`` closest cells, and
     search exactly within the probed cells; work per cell is bounded by
     cell size x probes — the standard ANN scale shape. One assignment scan
-    emits both roles.
+    emits both roles; cells exceeding ``max_cell_rows`` in either role are
+    grid salt-split with zero recall loss (see _ivf_pairs).
+
+    ``n_cells=None`` auto-sizes to ~sqrt(N) (VERDICT r2 #9 — a fixed cell
+    count degenerates as the corpus grows); ``rows_hint`` (e.g. a checkpoint
+    manifest row count) skips the sizing count.
 
     -> (l_id, r_id, sim, rank), rank<=k per l_id, self-pairs excluded.
     """
     spark = df.sparkSession
+    if n_cells is None:
+        n_cells = _auto_n_cells(rows_hint if rows_hint is not None else df.count())
     cents = _train_centroids(df, id_col, emb_col, n_cells, seed)
     cents_bc = spark.sparkContext.broadcast(cents)
     assigned = _assign_cells(df, id_col, emb_col, cents_bc, nprobe,
                              emit_home=True, emit_probes=True)
     id_type = df.select(id_col).schema.fields[0].dataType
-    return _ivf_pairs(assigned, k, id_type, mask_equal_ids=True)
+    return _ivf_pairs(assigned, k, id_type, mask_equal_ids=True,
+                      max_cell_rows=max_cell_rows)
 
 
 def ivf_topk_join(
@@ -259,24 +359,42 @@ def ivf_topk_join(
     l_id: str = "vec_id",
     r_id: str = "vec_id",
     emb_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 3,
     seed: int = 1234,
+    max_cell_rows: int = 5_000,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """Dyadic IVF-flat: centroids train on the INDEX side (right), right
     rows land in their home cell only, every left query probes its
-    ``nprobe`` nearest cells. Same two-shuffle plan as the self path.
+    ``nprobe`` nearest cells. Same two-shuffle plan as the self path, same
+    grid salt-split for hot cells. ``n_cells=None`` auto-sizes from the
+    INDEX side's row count (``rows_hint`` skips that count).
+
+    Both sides must share an id type (ADVICE r2: the cell-union frame
+    carries ONE ``_id`` column, so differing types would miscast silently);
+    cast one side's id first if they differ.
+
     -> (l_id, r_id, sim, rank), rank<=k per left row."""
     spark = left.sparkSession
+    l_type = left.select(l_id).schema.fields[0].dataType
+    r_type = right.select(r_id).schema.fields[0].dataType
+    if l_type != r_type:
+        raise TypeError(
+            "ivf_topk_join requires matching id types on both sides (got "
+            f"{l_type.simpleString()} vs {r_type.simpleString()}); cast one "
+            "side's id column first"
+        )
+    if n_cells is None:
+        n_cells = _auto_n_cells(rows_hint if rows_hint is not None else right.count())
     cents = _train_centroids(right, r_id, emb_col, n_cells, seed)
     cents_bc = spark.sparkContext.broadcast(cents)
     index = _assign_cells(right, r_id, emb_col, cents_bc, nprobe,
                           emit_home=True, emit_probes=False)
     queries = _assign_cells(left, l_id, emb_col, cents_bc, nprobe,
                             emit_home=False, emit_probes=True)
-    id_type = left.select(l_id).schema.fields[0].dataType
-    return _ivf_pairs(index.unionByName(queries), k, id_type,
-                      mask_equal_ids=False)
+    return _ivf_pairs(index.unionByName(queries), k, l_type,
+                      mask_equal_ids=False, max_cell_rows=max_cell_rows)
 
 
 class IVFVectorPairing:
@@ -285,26 +403,38 @@ class IVFVectorPairing:
     self mode when query() receives the indexed DataFrame itself, dyadic
     (train-on-index, probe-from-query) otherwise."""
 
-    def __init__(self, k: int = 50, n_cells: int = 16, nprobe: int = 3,
-                 seed: int = 1234):
+    def __init__(self, k: int = 50, n_cells: int | None = 16, nprobe: int = 3,
+                 seed: int = 1234, max_cell_rows: int = 5_000):
         self.k, self.n_cells, self.nprobe, self.seed = k, n_cells, nprobe, seed
+        self.max_cell_rows = max_cell_rows
         self.exclude_self = True  # self mode never emits self-pairs
 
     def index(self, right: DataFrame, r_id: str = "id", emb_col: str = "embedding"):
         self._right, self._r_id, self._emb = right, r_id, emb_col
         return self
 
-    def query(self, left: DataFrame, l_id: str = "id", emb_col: str | None = None) -> DataFrame:
-        if left is self._right:
+    def query(self, left: DataFrame, l_id: str = "id",
+              emb_col: str | None = None, mode: str = "auto") -> DataFrame:
+        """``mode``: 'self' (left IS the indexed table — dedup semantics,
+        self-pairs excluded), 'dyadic' (two tables), or 'auto'. Auto falls
+        back to OBJECT IDENTITY with the indexed DataFrame — an
+        equal-but-distinct frame of the same table (e.g. re-read from a
+        checkpoint) runs dyadic and leaks self-pairs (ADVICE r2); pass
+        mode='self' explicitly in that case."""
+        if mode not in ("auto", "self", "dyadic"):
+            raise ValueError(f"unknown query mode: {mode!r}")
+        if mode == "self" or (mode == "auto" and left is self._right):
             return ivf_topk(
                 self._right, k=self.k, id_col=self._r_id,
                 emb_col=emb_col or self._emb, n_cells=self.n_cells,
                 nprobe=self.nprobe, seed=self.seed,
+                max_cell_rows=self.max_cell_rows,
             )
         return ivf_topk_join(
             left, self._right, k=self.k, l_id=l_id, r_id=self._r_id,
             emb_col=emb_col or self._emb, n_cells=self.n_cells,
             nprobe=self.nprobe, seed=self.seed,
+            max_cell_rows=self.max_cell_rows,
         )
 
 

@@ -119,6 +119,55 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
     return buckets.groupBy("band", "bucket").agg(F.count("*").alias("size"))
 
 
+# Persisted signature frames awaiting release (VERDICT r2 #2: signatures are
+# computed ONCE per side into a persisted frame consumed by both the
+# bucket-size aggregation and the candidate kernel — previously each consumer
+# re-ran the full scan + hyperplane matmul, 2x per side). The candidate plan
+# returned to the caller still reads the cache lazily, so the frames cannot
+# be unpersisted inside the operator; callers (pipeline stage boundaries,
+# bench) call release_signature_caches() after their action, and Spark's
+# ContextCleaner unpersists dropped frames as the GC backstop. At true 100 TB
+# the same role is played by the checkpoint stage boundary (the candidates
+# stage materializes, then caches are released).
+_SIG_CACHES: list[DataFrame] = []
+
+
+def release_signature_caches() -> None:
+    """Unpersist signature frames cached by lsh_candidates[_dyadic]. Safe to
+    call at any time after the consuming job finished; a subsequent action on
+    an old plan would recompute rather than fail."""
+    while _SIG_CACHES:
+        _SIG_CACHES.pop().unpersist()
+
+
+def _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed) -> DataFrame:
+    from pyspark import StorageLevel
+
+    sigs = signature_buckets(
+        df, id_col, emb_col, dim, n_bands, band_bits, seed, include_emb=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _SIG_CACHES.append(sigs)
+    return sigs
+
+
+def _oversized_buckets(sigs: DataFrame, max_bucket_rows: int, cols: list[str]):
+    """Collect the (tiny by construction) oversized-bucket list from a narrow
+    projection of the persisted signature frame — this is the action that
+    materializes the cache, so the candidate pass reads signatures for free.
+    Returns [(band, bucket, n_splits), ...]."""
+    return (
+        sigs.select("band", "bucket")
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("size"))
+        .filter(F.col("size") > max_bucket_rows)
+        .withColumn(
+            "_splits", F.ceil(F.col("size") / F.lit(max_bucket_rows)).cast("int")
+        )
+        .select(*cols)
+        .collect()
+    )
+
+
 def lsh_candidates(
     df: DataFrame,
     id_col: str = "id",
@@ -144,33 +193,42 @@ def lsh_candidates(
     # cross-product. Pairs spanning two splits of the same mega-bucket are
     # only lost if the pair also collides in no other band — the standard
     # multi-band recall argument applies. Cold buckets keep salt 0.
-    # Only the (tiny) OVERSIZED bucket list is joined, and broadcast: the
-    # full sizes frame would shuffle-join the entire signature table for a
-    # handful of hot keys (VERDICT r1 plan-audit note). The size pass uses
-    # bare signatures (id/band/bucket only); the candidate pass carries the
-    # embedding through the signature UDF, so there is NO join back to the
+    # Signatures are computed ONCE into a persisted frame (VERDICT r2 #2);
+    # the bucket-size pass is a narrow projection of it, collected eagerly
+    # (which materializes the cache), so the candidate pass pays no second
+    # scan + matmul. The oversized list is tiny by construction: when empty
+    # (the common healthy case) the salt is a literal 0 and the plan has NO
+    # join at all; when non-empty it is re-injected as a broadcast local
+    # relation — never a shuffle join (VERDICT r1 plan-audit note). The
+    # embedding rides the signature frame, so there is NO join back to the
     # source table — the only big shuffle is groupBy(band, bucket, salt).
-    over = (
-        bucket_stats(
-            signature_buckets(df, id_col, emb_col, dim, n_bands, band_bits, seed)
-        )
-        .filter(F.col("size") > max_bucket_rows)
-        .withColumn("_splits", F.ceil(F.col("size") / F.lit(max_bucket_rows)))
-        .select("band", "bucket", "_splits")
+    sigs = _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed)
+    over_rows = _oversized_buckets(
+        sigs, max_bucket_rows, ["band", "bucket", "_splits"]
     )
-    joined = (
-        signature_buckets(
-            df, id_col, emb_col, dim, n_bands, band_bits, seed, include_emb=True
+    if over_rows:
+        over = df.sparkSession.createDataFrame(
+            over_rows,
+            StructType(
+                [
+                    StructField("band", IntegerType(), False),
+                    StructField("bucket", LongType(), False),
+                    StructField("_splits", IntegerType(), False),
+                ]
+            ),
         )
-        .join(F.broadcast(over), ["band", "bucket"], "left")
-        .withColumn(
-            "salt",
-            F.when(F.col("_splits").isNull(), F.lit(0)).otherwise(
-                F.pmod(F.xxhash64(F.col(id_col)), F.col("_splits"))
-            ).cast("int"),
+        joined = (
+            sigs.join(F.broadcast(over), ["band", "bucket"], "left")
+            .withColumn(
+                "salt",
+                F.when(F.col("_splits").isNull(), F.lit(0)).otherwise(
+                    F.pmod(F.xxhash64(F.col(id_col)), F.col("_splits"))
+                ).cast("int"),
+            )
+            .drop("_splits")
         )
-        .drop("_splits")
-    )
+    else:
+        joined = sigs.withColumn("salt", F.lit(0))
 
     id_type = df.select(id_col).schema.fields[0].dataType
     pair_schema = StructType(
@@ -258,52 +316,59 @@ def lsh_candidates_dyadic(
     examined exactly once — per-task cross-products stay bounded by
     max_bucket_rows^2 with zero recall loss vs the uncapped bucket.
     """
-    l_sigs = signature_buckets(left, l_id, emb_col, dim, n_bands, band_bits, seed,
-                               include_emb=True)
-    r_sigs = signature_buckets(right, r_id, emb_col, dim, n_bands, band_bits, seed,
-                               include_emb=True)
-    # Oversized-bucket split counts per side (bare signature pass — no emb
-    # payload in the size aggregation); tiny frame, broadcast.
-    l_over = (
-        bucket_stats(
-            signature_buckets(left, l_id, emb_col, dim, n_bands, band_bits, seed)
-        )
-        .filter(F.col("size") > max_bucket_rows)
-        .select(
-            "band", "bucket",
-            F.ceil(F.col("size") / F.lit(max_bucket_rows)).alias("_sl"),
-        )
-    )
-    r_over = (
-        bucket_stats(
-            signature_buckets(right, r_id, emb_col, dim, n_bands, band_bits, seed)
-        )
-        .filter(F.col("size") > max_bucket_rows)
-        .select(
-            "band", "bucket",
-            F.ceil(F.col("size") / F.lit(max_bucket_rows)).alias("_sr"),
-        )
-    )
-    splits = l_over.join(r_over, ["band", "bucket"], "outer")
+    # One signature pass per side (VERDICT r2 #2): each side's emb-carrying
+    # signature frame is persisted and consumed by BOTH its bucket-size
+    # aggregation (a narrow projection, collected eagerly — this is what
+    # materializes the cache) and the candidate kernel. The merged oversized
+    # list is tiny by construction; when empty (healthy case) both salts are
+    # literal 0 and the plan has neither a join nor an explode.
+    l_sigs = _persisted_sigs(left, l_id, emb_col, dim, n_bands, band_bits, seed)
+    r_sigs = _persisted_sigs(right, r_id, emb_col, dim, n_bands, band_bits, seed)
+    grid: dict[tuple[int, int], list[int]] = {}
+    for row in _oversized_buckets(l_sigs, max_bucket_rows, ["band", "bucket", "_splits"]):
+        grid[(row["band"], row["bucket"])] = [row["_splits"], 1]
+    for row in _oversized_buckets(r_sigs, max_bucket_rows, ["band", "bucket", "_splits"]):
+        grid.setdefault((row["band"], row["bucket"]), [1, 1])[1] = row["_splits"]
 
-    def salted(sigs: DataFrame, key: str, side: int) -> DataFrame:
-        own, other = ("_sl", "_sr") if side == 0 else ("_sr", "_sl")
-        return (
-            sigs.join(F.broadcast(splits), ["band", "bucket"], "left")
-            .withColumn("_own", F.coalesce(F.col(own), F.lit(1)))
-            .withColumn("_other", F.coalesce(F.col(other), F.lit(1)))
-            .withColumn("_my_salt", F.pmod(F.xxhash64(F.col(key)), F.col("_own")).cast("int"))
-            .withColumn(
-                "_rep_salt",
-                F.explode(F.sequence(F.lit(0), (F.col("_other") - 1).cast("int"))),
+    if grid:
+        splits = left.sparkSession.createDataFrame(
+            [(b, k, sl, sr) for (b, k), (sl, sr) in grid.items()],
+            StructType(
+                [
+                    StructField("band", IntegerType(), False),
+                    StructField("bucket", LongType(), False),
+                    StructField("_sl", IntegerType(), False),
+                    StructField("_sr", IntegerType(), False),
+                ]
+            ),
+        )
+
+        def salted(sigs: DataFrame, key: str, side: int) -> DataFrame:
+            own, other = ("_sl", "_sr") if side == 0 else ("_sr", "_sl")
+            return (
+                sigs.join(F.broadcast(splits), ["band", "bucket"], "left")
+                .withColumn("_own", F.coalesce(F.col(own), F.lit(1)))
+                .withColumn("_other", F.coalesce(F.col(other), F.lit(1)))
+                .withColumn("_my_salt", F.pmod(F.xxhash64(F.col(key)), F.col("_own")).cast("int"))
+                .withColumn(
+                    "_rep_salt",
+                    F.explode(F.sequence(F.lit(0), (F.col("_other") - 1).cast("int"))),
+                )
+                .select(
+                    F.col(key).alias("_id"), "band", "bucket",
+                    (F.col("_my_salt") if side == 0 else F.col("_rep_salt")).alias("salt_l"),
+                    (F.col("_rep_salt") if side == 0 else F.col("_my_salt")).alias("salt_r"),
+                    "_emb", F.lit(side).alias("_side"),
+                )
             )
-            .select(
+    else:
+
+        def salted(sigs: DataFrame, key: str, side: int) -> DataFrame:
+            return sigs.select(
                 F.col(key).alias("_id"), "band", "bucket",
-                (F.col("_my_salt") if side == 0 else F.col("_rep_salt")).alias("salt_l"),
-                (F.col("_rep_salt") if side == 0 else F.col("_my_salt")).alias("salt_r"),
+                F.lit(0).alias("salt_l"), F.lit(0).alias("salt_r"),
                 "_emb", F.lit(side).alias("_side"),
             )
-        )
 
     both = salted(l_sigs, l_id, 0).unionByName(salted(r_sigs, r_id, 1))
 
@@ -375,8 +440,16 @@ class LSHVectorPairing:
         self._right, self._r_id, self._emb = right, r_id, emb_col
         return self
 
-    def query(self, left: DataFrame, l_id: str = "id", emb_col: str | None = None) -> DataFrame:
-        if left is self._right:
+    def query(self, left: DataFrame, l_id: str = "id",
+              emb_col: str | None = None, mode: str = "auto") -> DataFrame:
+        """``mode``: 'self' (left IS the indexed table — self-pairs
+        excluded), 'dyadic', or 'auto'. Auto falls back to OBJECT IDENTITY
+        with the indexed DataFrame — an equal-but-distinct frame of the same
+        table (e.g. re-read from a checkpoint) runs dyadic and leaks
+        self-pairs (ADVICE r2); pass mode='self' explicitly in that case."""
+        if mode not in ("auto", "self", "dyadic"):
+            raise ValueError(f"unknown query mode: {mode!r}")
+        if mode == "self" or (mode == "auto" and left is self._right):
             return lsh_candidates(
                 self._right, self._r_id, emb_col or self._emb, self.dim, self.k,
                 self.n_bands, self.band_bits, self.seed, self.max_bucket_rows,

@@ -77,10 +77,10 @@ def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float
 
 
 # C-backed Jaro-Winkler when available (rapidfuzz / jellyfish — absent in
-# this sandbox, typically present on real clusters); the pure-Python form is
-# the documented slow knob of the scoring stage (VERDICT r1 #5): O(len^2)
-# per pair, ~10-50x slower than the C implementations. Install rapidfuzz on
-# the cluster to remove it from the critical path with no code change.
+# this sandbox, typically present on real clusters). When neither import
+# succeeds, the fallback is now the VECTORIZED numpy batch kernel below
+# (VERDICT r2 #4) — the r1/r2 per-pair pure-Python loop is kept only as the
+# parity reference for tests.
 try:  # pragma: no cover - environment-dependent
     from rapidfuzz.distance.JaroWinkler import similarity as _jw_fast
 except ImportError:
@@ -89,27 +89,178 @@ except ImportError:
     except ImportError:
         _jw_fast = None
 
-# Worker-lifetime pair-result cache: dedup/ER candidate tables compare hot
-# records (boilerplate, popular entities) against many partners, and both
-# orders of a pair score identically.
-_JW_CACHE: dict[tuple[str, str], float] = {}
+
+def jaro_winkler_batch(
+    a: np.ndarray, b: np.ndarray, p: float = 0.1, max_prefix: int = 4
+) -> np.ndarray:
+    """Vectorized Jaro-Winkler over a batch of string pairs (VERDICT r2 #4).
+
+    Strings are packed into fixed-width UCS4 matrices (``np.array(...,
+    dtype='U<L>').view(np.uint32)`` — numpy unicode storage IS the padded
+    char matrix, zero copies), and the greedy Jaro matching runs as a loop
+    over CHARACTER POSITIONS with every pair advanced simultaneously; the
+    per-pair O(len^2) scan of the scalar form becomes O(maxlen * window)
+    numpy ops over the whole batch. Pairs are bucketed by max-length
+    power-of-two so short pairs never pay a long pair's padded width.
+    Matches the scalar ``jaro_winkler`` bit-for-bit (property-tested),
+    including embedded-NUL strings (bounds use true lengths, not pad
+    sentinels)."""
+    n = len(a)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    l1 = np.fromiter((len(s) for s in a), dtype=np.int64, count=n)
+    l2 = np.fromiter((len(s) for s in b), dtype=np.int64, count=n)
+    eq = a == b
+    out[eq] = 1.0
+    todo = np.nonzero(~eq & (l1 > 0) & (l2 > 0))[0]
+    if not len(todo):
+        return out
+    # bucket by power-of-two of the pair's max length: padded width (and the
+    # position loop) is sized per bucket, not by the batch's longest string.
+    # Row-chunked so the (rows x La x Lb) match-table temporary stays ~100 MB.
+    maxlen = np.maximum(l1[todo], l2[todo])
+    for blen in np.unique(np.int64(1) << np.int64(np.ceil(np.log2(maxlen)))):
+        sel = todo[(maxlen <= blen) & (maxlen > blen // 2)]
+        chunk = max(256, 100_000_000 // max(1, int(blen) * int(blen)))
+        for s in range(0, len(sel), chunk):
+            cs = sel[s : s + chunk]
+            out[cs] = _jw_bucket(a[cs], b[cs], l1[cs], l2[cs], p, max_prefix)
+    return out
+
+
+_U64_FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+_U64_ONE = np.uint64(1)
+_U64_POW2 = _U64_ONE << np.arange(64, dtype=np.uint64)
+
+
+def _bits_below(k: np.ndarray) -> np.ndarray:
+    """Per-element uint64 mask of bits [0, k) for k in [0, 64]."""
+    kk = np.minimum(k, 63).astype(np.uint64)
+    return np.where(k >= 64, _U64_FULL, (_U64_ONE << kk) - _U64_ONE).astype(np.uint64)
+
+
+def _jw_bucket(a, b, l1, l2, p, max_prefix):
+    """Bit-parallel greedy Jaro matching: each pair's unmatched-s2-position
+    set lives in ceil(Lb/64) uint64 words, so one s1 position costs a few
+    uint64 vector ops per word instead of a j-scan over the match window —
+    the same trick rapidfuzz's C kernel uses, expressed in numpy. Greedy
+    'first unmatched j' == lowest set bit of (charmask & window & avail)."""
+    m = len(a)
+    La, Lb = int(l1.max()), int(l2.max())
+    A = np.array(a, dtype=f"U{La}").view(np.uint32).reshape(m, La)
+    B = np.array(b, dtype=f"U{Lb}").view(np.uint32).reshape(m, Lb)
+    w = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    nw = -(-Lb // 64)
+    # Char-match bit table built in ONE vectorized pass per 64-char word:
+    # BM[wd][r, i] = bitmask over j of (B[r, j] == A[r, i]). packbits turns
+    # the (m x La x 64) bool comparison into uint64 words without an 8x
+    # integer temporary; the greedy i-loop below then touches only m-sized
+    # uint64 vectors (a per-i re-comparison of B was the bottleneck of the
+    # first cut of this kernel — 60 MB of compare traffic per position).
+    BM = []
+    for wd in range(nw):
+        Bw = B[:, wd * 64 : (wd + 1) * 64]
+        cmp = Bw[:, None, :] == A[:, :, None]  # (m, La, uw)
+        packed = np.packbits(cmp, axis=-1, bitorder="little")
+        nbytes = packed.shape[-1]
+        if nbytes < 8:
+            packed = np.concatenate(
+                [packed, np.zeros((m, La, 8 - nbytes), dtype=np.uint8)], axis=-1
+            )
+        BM.append(np.ascontiguousarray(packed).view(np.uint64).reshape(m, La))
+    # per-word availability = still-unmatched positions within s2's TRUE
+    # length (pad columns are never available, so embedded NULs stay exact)
+    avail = [_bits_below(np.clip(l2 - wd * 64, 0, 64)) for wd in range(nw)]
+    init_avail = [x.copy() for x in avail]
+    m1 = np.zeros((m, La), dtype=bool)
+    lo, hi = np.empty(m, np.int64), np.empty(m, np.int64)
+    for i in range(La):
+        need = i < l1
+        if not need.any():
+            break
+        np.subtract(i, w, out=lo)
+        np.clip(lo, 0, None, out=lo)
+        np.add(i + 1, w, out=hi)
+        found = ~need
+        for wd in range(nw):
+            if found.all():
+                break
+            window = _bits_below(np.clip(hi - wd * 64, 0, 64)) & ~_bits_below(
+                np.clip(lo - wd * 64, 0, 64)
+            )
+            mask = BM[wd][:, i] & window & avail[wd]
+            mask[found] = np.uint64(0)
+            hit = mask != 0
+            if hit.any():
+                bit = mask & (~mask + _U64_ONE)  # lowest set bit = first j
+                avail[wd][hit] &= ~bit[hit]
+                m1[hit, i] = True
+                found |= hit
+    # reconstruct the s2 match-flag matrix from the consumed bits
+    m2 = np.zeros((m, Lb), dtype=bool)
+    for wd in range(nw):
+        used = init_avail[wd] & ~avail[wd]
+        uw = min(64, Lb - wd * 64)
+        m2[:, wd * 64 : wd * 64 + uw] = (
+            (used[:, None] >> np.arange(uw, dtype=np.uint64)) & _U64_ONE
+        ).astype(bool)
+    mc = m1.sum(axis=1)
+    jaro = np.zeros(m, dtype=np.float64)
+    has = mc > 0
+    if has.any():
+        # transpositions: scatter each side's matched chars into rank order,
+        # count positional mismatches, halve (the scalar t //= 2)
+        maxm = int(mc.max())
+        M1 = np.zeros((m, maxm), dtype=np.uint32)
+        M2 = np.zeros((m, maxm), dtype=np.uint32)
+        r, ccol = np.nonzero(m1)
+        M1[r, (np.cumsum(m1, axis=1) - 1)[r, ccol]] = A[r, ccol]
+        r, ccol = np.nonzero(m2)
+        M2[r, (np.cumsum(m2, axis=1) - 1)[r, ccol]] = B[r, ccol]
+        t = ((M1 != M2) & (np.arange(maxm) < mc[:, None])).sum(axis=1) // 2
+        mcf = mc.astype(np.float64)
+        safe = np.maximum(mcf, 1.0)
+        jaro = np.where(
+            has, (mcf / l1 + mcf / l2 + (mcf - t) / safe) / 3.0, 0.0
+        )
+    pw = min(max_prefix, La, Lb)
+    if pw > 0:
+        peq = (A[:, :pw] == B[:, :pw]) & (
+            np.arange(pw) < np.minimum(l1, l2)[:, None]
+        )
+        prefix = np.concatenate(
+            [~peq, np.ones((m, 1), dtype=bool)], axis=1
+        ).argmax(axis=1)
+    else:
+        prefix = np.zeros(m, dtype=np.int64)
+    return jaro + prefix * p * (1.0 - jaro)
 
 
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    fn = _jw_fast or jaro_winkler
-    out = np.empty(len(s1), dtype=np.float64)
-    if len(_JW_CACHE) > 1_000_000:
-        _JW_CACHE.clear()
-    for i, (a, b) in enumerate(zip(s1, s2)):
-        a, b = a or "", b or ""
-        key = (a, b) if a <= b else (b, a)
-        v = _JW_CACHE.get(key)
-        if v is None:
-            v = fn(*key)
-            _JW_CACHE[key] = v
-        out[i] = v
-    return pd.Series(out)
+    """Arrow-batched Jaro-Winkler: in-batch pair dedup (ER candidate tables
+    compare hot records against many partners, and both orders score
+    identically), then either the C-backed scorer (rapidfuzz/jellyfish when
+    installed) or the vectorized numpy batch kernel."""
+    a = np.asarray([x or "" for x in s1], dtype=object)
+    b = np.asarray([x or "" for x in s2], dtype=object)
+    swap = a > b  # canonical order: JW(a,b) == JW(b,a) for this definition
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    keys = np.char.add(
+        np.char.add(a2.astype(str), "\x1f"), b2.astype(str)
+    )
+    _, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
+    ua, ub = a2[first_idx], b2[first_idx]
+    if _jw_fast is not None:
+        uniq = np.fromiter(
+            (_jw_fast(x, y) for x, y in zip(ua, ub)), dtype=np.float64,
+            count=len(ua),
+        )
+    else:
+        uniq = jaro_winkler_batch(ua, ub)
+    return pd.Series(uniq[inverse])
 
 
 def score_candidates(

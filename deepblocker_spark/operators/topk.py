@@ -59,8 +59,14 @@ _SIMS_SCRATCH: dict[tuple[int, int], np.ndarray] = {}
 # buffer alive, and identity (`is`) — not id() alone — gates reuse. id() by
 # itself is unsafe in a reused Python worker: once an earlier broadcast is
 # GC'd, a later same-shape matrix can land at the same address and the stale
-# f32 copy would be silently used for selection.
+# f32 copy would be silently used for selection. Capacity is 2 entries with
+# LRU eviction (ADVICE r2): each entry pins BOTH the float64 broadcast and
+# its f32 copy (~1.8 GB at 500k rows x dim 300), so a deep cache is an
+# executor-memory leak across multi-chunk exact joins; 2 entries cover the
+# only real reuse pattern (the current chunk, plus one overlap while the
+# next chunk's first batch arrives).
 _F32_CACHE: list[tuple[np.ndarray, np.ndarray]] = []
+_F32_CACHE_CAP = 2
 
 
 def _sims_buffer(rows: int, cols: int) -> np.ndarray:
@@ -81,13 +87,15 @@ def _f32_view(mat64: np.ndarray) -> np.ndarray:
     Keyed by object identity with a held strong reference, so a different
     matrix can never alias a cached entry (ADVICE r1: id()-keyed caching
     could serve a stale f32 matrix after the source was freed)."""
-    for src, f32 in _F32_CACHE:
+    for i, (src, f32) in enumerate(_F32_CACHE):
         if src is mat64:
+            if i != len(_F32_CACHE) - 1:  # move to MRU slot
+                _F32_CACHE.append(_F32_CACHE.pop(i))
             return f32
-    if len(_F32_CACHE) > 4:
-        _F32_CACHE.clear()
     f32 = mat64.astype(np.float32)
     _F32_CACHE.append((mat64, f32))
+    while len(_F32_CACHE) > _F32_CACHE_CAP:
+        del _F32_CACHE[0]  # LRU eviction; drops our refs to both matrices
     return f32
 
 
@@ -409,9 +417,18 @@ class ExactTopKVectorPairing:
         self._emb_col = emb_col
         return self
 
-    def query(self, left: DataFrame, l_id: str = "id", emb_col: str | None = None) -> DataFrame:
+    def query(self, left: DataFrame, l_id: str = "id",
+              emb_col: str | None = None, mode: str = "auto") -> DataFrame:
+        """``mode`` ('auto'|'self'|'dyadic') mirrors the LSH/IVF pairings'
+        explicit dispatch (ADVICE r2). For the exact join the executed plan
+        is identical either way — self semantics are carried by
+        ``exclude_self`` — so 'self' merely forces exclude_self on."""
+        if mode not in ("auto", "self", "dyadic"):
+            raise ValueError(f"unknown query mode: {mode!r}")
         if self._right is None:
             raise RuntimeError("call index(right_df) before query(left_df)")
+        if mode == "self":
+            self.exclude_self = True
         return exact_topk_join(
             left,
             self._right,

@@ -114,6 +114,22 @@ class CheckpointManager:
     def is_complete(self, name: str) -> bool:
         return self.manifest(name) is not None
 
+    def _chain_parents(self, params: dict, parents: list[str] | None) -> dict:
+        """Fold each parent's manifest identity into the child's params so
+        the child's hash changes whenever an upstream stage was recomputed
+        (the parent-staleness class ADVICE r2 flagged). Called both when
+        checking reuse and when writing, so the recorded hash always refers
+        to the parents as they existed at this stage's build time."""
+        chained = dict(params)
+        for p in parents or []:
+            pman = self.manifest(p)
+            chained[f"_parent:{p}"] = (
+                [pman.get("params_hash"), pman.get("content_fingerprint")]
+                if pman
+                else None
+            )
+        return chained
+
     def stage(
         self,
         name: str,
@@ -132,9 +148,18 @@ class CheckpointManager:
         ``params`` (the stage's semantic knobs) is hashed into the manifest;
         an existing checkpoint is only reused when its recorded params hash
         matches — a changed parameter recomputes instead of silently
-        returning stale outputs."""
+        returning stale outputs. Each parent's identity (its params_hash AND
+        content_fingerprint, read from its manifest at hash time) is folded
+        into the child's hash (ADVICE r2): a recomputed upstream stage —
+        changed params or changed data — transitively invalidates every
+        downstream checkpoint instead of leaving stale children that still
+        hash-match their own unchanged knobs."""
         data_path, mpath = self._paths(name)
-        phash = params_hash(params) if params is not None else None
+        phash = (
+            params_hash(self._chain_parents(params, parents))
+            if params is not None
+            else None
+        )
         if not force and self.is_complete(name):
             man = self.manifest(name)
             if phash is None or man.get("params_hash") == phash:
@@ -247,7 +272,8 @@ def run_blocking_pipeline(
         "embeddings", build_embeddings, [id_col], force=force,
         params={"cols_to_block": cols_to_block, "id_col": id_col,
                 "emb_dim": cfg.emb_dim, "remove_pc": cfg.remove_pc,
-                "sif_a": cfg.sif_weighting_param},
+                "sif_a": cfg.sif_weighting_param,
+                "random_seed": cfg.random_seed},
     )
 
     n_rows = ckpt.manifest("embeddings")["rows"]
@@ -274,22 +300,35 @@ def run_blocking_pipeline(
         else:  # ivf
             from deepblocker_spark.operators.ann import ivf_topk
 
+            # n_cells=None auto-sizes to ~sqrt(N) from the manifest row
+            # count (VERDICT r2 #9 — cfg.ivf_n_cells is an explicit
+            # override; the default fixed 16 degenerates as N grows)
             return ivf_topk(
                 emb, k=k, id_col=id_col, emb_col="embedding", dim=cfg.emb_dim,
                 n_cells=cfg.ivf_n_cells, nprobe=cfg.ivf_nprobe,
-                seed=cfg.random_seed,
+                seed=cfg.random_seed, rows_hint=n_rows,
             )
         p.index(emb, r_id=id_col)
-        return p.query(emb, l_id=id_col)
+        # mode='self': emb is checkpoint-backed; never rely on object
+        # identity for self-vs-dyadic dispatch (ADVICE r2)
+        return p.query(emb, l_id=id_col, mode="self")
 
     cands = ckpt.stage(
         "candidates", build_candidates, ["l_id", "r_id"],
         parents=["embeddings"], force=force,
-        params={"k": k, "pairing": mode,
+        params={"k": k, "pairing": mode, "random_seed": cfg.random_seed,
                 "lsh": [cfg.lsh_n_bands, cfg.lsh_band_bits,
                         cfg.lsh_max_bucket_rows] if mode == "lsh" else None,
                 "ivf": [cfg.ivf_n_cells, cfg.ivf_nprobe] if mode == "ivf" else None},
     )
+    # the candidates stage is materialized: release the signature /
+    # assignment caches the ANN operators persisted for their single-pass
+    # size-agg + kernel consumption
+    from deepblocker_spark.operators.ann import release_assignment_caches
+    from deepblocker_spark.operators.lsh import release_signature_caches
+
+    release_signature_caches()
+    release_assignment_caches()
 
     def build_scored() -> DataFrame:
         out = cands

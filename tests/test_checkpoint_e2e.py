@@ -179,6 +179,33 @@ def test_changed_params_invalidate_checkpoint(spark, repo_df, tmp_path):
     assert ckpt2.manifest("candidates")["rows"] > rows_k5
 
 
+def test_upstream_param_change_invalidates_downstream(spark, repo_df, tmp_path):
+    """ADVICE r2: a changed UPSTREAM param (emb_dim) must transitively
+    recompute candidates/scored/clusters even though their own params are
+    unchanged — parent manifests are folded into each child's params hash."""
+    df, _ = repo_df
+    base = str(tmp_path / "ckpt_parent")
+    run_blocking_pipeline(
+        spark, df, CheckpointManager(spark, base),
+        ["repo", "path", "lang", "content"],
+        id_col="id", k=10, verify_jaccard=0.4, config=CFG,
+    )
+    ckpt = CheckpointManager(spark, base)
+    before = {s: ckpt.manifest(s)["written_at_ns"]
+              for s in ("embeddings", "candidates", "scored", "clusters")}
+    cfg2 = BlockerConfig(emb_dim=32, top_k=10, remove_pc=True)
+    run_blocking_pipeline(
+        spark, df, CheckpointManager(spark, base),
+        ["repo", "path", "lang", "content"],
+        id_col="id", k=10, verify_jaccard=0.4, config=cfg2,
+    )
+    ckpt2 = CheckpointManager(spark, base)
+    for s in ("embeddings", "candidates", "scored", "clusters"):
+        assert ckpt2.manifest(s)["written_at_ns"] > before[s], (
+            f"stage {s} was stale-reused after an upstream param change"
+        )
+
+
 def test_pipeline_ivf_pairing_end_to_end_f1(spark, repo_df, tmp_path):
     """IVF pairing from the checkpointed pipeline: driver-trained centroids,
     deterministic hash sample, still clears the F1 gate (near-dup vectors

@@ -173,3 +173,42 @@ def test_cosine_col_zero_vector_guard(spark):
     )
     row = df.select(cosine_col(F.col("a"), F.col("b")).alias("c")).collect()[0]
     assert row["c"] == 0.0
+
+
+def test_jaro_winkler_batch_matches_scalar_property():
+    """VERDICT r2 #4: the vectorized numpy batch kernel must match the
+    scalar reference implementation bit-for-bit — random strings, repeats,
+    prefixes, unicode, embedded NULs, empties."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from deepblocker_spark.operators.scoring import jaro_winkler, jaro_winkler_batch
+
+    alphabet = st.sampled_from(list("abcdeABC 0é中\x00"))
+    strs = st.text(alphabet=alphabet, min_size=0, max_size=24)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(st.tuples(strs, strs), min_size=1, max_size=40))
+    def check(pairs):
+        a = np.asarray([x for x, _ in pairs], dtype=object)
+        b = np.asarray([y for _, y in pairs], dtype=object)
+        got = jaro_winkler_batch(a, b)
+        want = np.asarray([jaro_winkler(x, y) for x, y in pairs])
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+    check()
+
+
+def test_jaro_winkler_batch_known_values():
+    import numpy as np
+
+    from deepblocker_spark.operators.scoring import jaro_winkler_batch
+
+    a = np.asarray(["MARTHA", "DIXON", "same", "", "prefix_common_x"], dtype=object)
+    b = np.asarray(["MARHTA", "DICKSONX", "same", "x", "prefix_common_y"], dtype=object)
+    got = jaro_winkler_batch(a, b)
+    assert got[0] == pytest.approx(0.9611, abs=1e-4)
+    assert got[1] == pytest.approx(0.8133, abs=1e-3)
+    assert got[2] == 1.0
+    assert got[3] == 0.0
