@@ -36,7 +36,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # _measure_scaling), so local[32] oversubscribes into throttling — measured
 # suite 15.0s at 32 vs 12.6s at 16 vs 13.1s at 8 on the same host phase.
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "16")
-SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "40000"))
+# 240k rows (VERDICT r2 #3): above cfg.pairing_lsh_threshold_rows (100k), so
+# the scaling artifact measures the pairing='auto' -> LSH path — the actual
+# 100 TB scale path — not the small-scale exact-oracle path.
+SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "240000"))
 
 # minhash_pairs / ngram_jaccard are excluded here: the synthetic documents
 # table has a ~31-word vocabulary, so ~8% of ALL doc pairs are >=0.9 Jaccard
@@ -52,7 +55,70 @@ BENCH_QUERIES = [
     "events_hourly",
     "cc_components",
     "lsh_topk_emb",
+    "ivf_topk_emb",
 ]
+
+# Queries whose per-stage shuffle bytes are recorded in full (the scale-path
+# claims under measurement: "LSH candidate shuffle ≈ n_bands x (id+vector)
+# rows, not a multiple"; "IVF = exactly the two hash exchanges").
+SHUFFLE_DETAIL_QUERIES = {"flagship_blocking", "lsh_topk_emb", "ivf_topk_emb"}
+
+
+def _release_ann_caches() -> None:
+    """Unpersist the signature/assignment frames the ANN operators cache for
+    their single-pass size-agg + kernel consumption — between bench repeats
+    this both bounds executor memory and keeps every repeat honestly cold."""
+    from deepblocker_spark.operators.ann import release_assignment_caches
+    from deepblocker_spark.operators.lsh import release_signature_caches
+
+    release_signature_caches()
+    release_assignment_caches()
+
+
+def _completed_stages(spark) -> list[dict]:
+    """Completed-stage metrics from the UI REST API (SparkListener data;
+    requires spark.ui.enabled=true on the session)."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return []
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as resp:
+        return json.load(resp)
+
+
+def _shuffle_since(spark, min_stage_id: int, detail: bool) -> dict:
+    """Aggregate shuffle/input bytes over stages submitted after the marker
+    (byte-level evidence for the plan-shape claims — VERDICT r2 #5)."""
+    stages = [s for s in _completed_stages(spark) if s["stageId"] > min_stage_id]
+    out = {
+        "shuffle_write": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_read": sum(s.get("shuffleReadBytes", 0) for s in stages),
+        "input": sum(s.get("inputBytes", 0) for s in stages),
+        "n_stages": len(stages),
+    }
+    if detail:
+        out["stages"] = [
+            {
+                "id": s["stageId"],
+                "name": s.get("name", "")[:60],
+                "write": s.get("shuffleWriteBytes", 0),
+                "read": s.get("shuffleReadBytes", 0),
+                "input": s.get("inputBytes", 0),
+            }
+            for s in sorted(stages, key=lambda s: s["stageId"])
+            if s.get("shuffleWriteBytes", 0)
+            or s.get("shuffleReadBytes", 0)
+            or s.get("inputBytes", 0)
+        ]
+    return out
+
+
+def _max_stage_id(spark) -> int:
+    stages = _completed_stages(spark)
+    return max((s["stageId"] for s in stages), default=-1)
 
 
 def _warm_up(spark) -> None:
@@ -85,35 +151,48 @@ def _warm_up(spark) -> None:
     df.unpersist()
 
 
-def _run_queries(spark) -> dict[str, float]:
+def _run_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
     import __spark_entry__ as entrymod
 
     _warm_up(spark)
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    shuffle_bytes: dict[str, dict] = {}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     for name in BENCH_QUERIES:
         best, n = None, 0
-        for _ in range(repeats):
+        for rep in range(repeats):
+            marker = _max_stage_id(spark) if rep == repeats - 1 else None
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            _release_ann_caches()
+            if marker is not None:
+                try:
+                    shuffle_bytes[name] = _shuffle_since(
+                        spark, marker, detail=name in SHUFFLE_DETAIL_QUERIES
+                    )
+                except Exception as e:  # metrics are informational
+                    shuffle_bytes[name] = {"error": str(e)[:120]}
         # min over repeats: this sandbox shows heavy run-to-run JVM variance
         # (driver planning stalls); min is the engine's actual cost
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-    return timings
+    return timings, shuffle_bytes
 
 
 def _scaling_job(spark, parquet_path: str, limit: int | None = None,
-                 rows_hint: int | None = None, n_parts: int = 64) -> int:
+                 rows_hint: int | None = None, n_parts: int = 64,
+                 pairing: str = "auto") -> dict:
     """The measured workload — the production blocking pipeline's candidate
-    stage as `run_blocking_pipeline(pairing='auto')` selects it at this
-    input size: preprocess -> SIF embed -> exact top-10 self-join (the
-    compute shape of the reference's own flagship algorithm; the LSH path's
-    scaling is profiled separately in BASELINE.md)."""
+    stage with the same pairing selection `run_blocking_pipeline` uses:
+    preprocess -> SIF embed -> top-10 self-join. At the default SCALE_ROWS
+    (240k > cfg.pairing_lsh_threshold_rows) 'auto' routes to the LSH path —
+    the bucketed 100 TB scale path — so the N-vs-4N gate measures the plan
+    that would actually run on a cluster (VERDICT r2 #3); below the
+    threshold it measures the exact chunk-broadcast oracle path."""
     from deepblocker_spark.config import BlockerConfig
     from deepblocker_spark.operators.preprocess import MERGED_TEXT, preprocess_table
     from deepblocker_spark.operators.topk import exact_topk_join
@@ -137,12 +216,27 @@ def _scaling_job(spark, parquet_path: str, limit: int | None = None,
     model = SparkSIFEmbedding(cfg)
     model.preprocess(pre.select(MERGED_TEXT))
     emb = model.embed(pre)
-    n = exact_topk_join(
-        emb, emb, k=10, l_id="iid", r_id="iid", exclude_self=True,
-        right_rows=rows_hint,
-    ).count()
+    mode = pairing
+    if mode == "auto":
+        n_rows = rows_hint if rows_hint is not None else emb.count()
+        mode = "lsh" if n_rows > cfg.pairing_lsh_threshold_rows else "exact"
+    if mode == "lsh":
+        from deepblocker_spark.operators.lsh import lsh_candidates
+
+        cand = lsh_candidates(
+            emb, id_col="iid", dim=cfg.emb_dim, k=10,
+            n_bands=cfg.lsh_n_bands, band_bits=cfg.lsh_band_bits,
+            seed=cfg.random_seed, max_bucket_rows=cfg.lsh_max_bucket_rows,
+        )
+    else:
+        cand = exact_topk_join(
+            emb, emb, k=10, l_id="iid", r_id="iid", exclude_self=True,
+            right_rows=rows_hint,
+        )
+    n = cand.count()
     pre.unpersist()
-    return n
+    _release_ann_caches()
+    return {"pairs": n, "pairing": mode}
 
 
 # Pure-numpy fixed-total-work control measuring how much parallel CPU the
@@ -207,6 +301,14 @@ def _measure_scaling() -> dict:
     rounds = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
     have_taskset = shutil.which("taskset") is not None
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # the mode 'auto' will select at this row count — the warm run uses the
+    # same mode so the measured run's code paths (LSH kernels at 240k) are
+    # JIT/worker-warm, and the artifact records which path was measured
+    from deepblocker_spark.config import DEFAULT_CONFIG
+
+    main_pairing = (
+        "lsh" if rows > DEFAULT_CONFIG.pairing_lsh_threshold_rows else "exact"
+    )
 
     # Speculative execution in the measured sessions (both levels, same
     # config): this host intermittently steals CPU from individual cores
@@ -233,12 +335,15 @@ def _measure_scaling() -> dict:
         "                              'spark.speculation.interval': '2s',\n"
         "                              'spark.speculation.multiplier': '2.0',\n"
         "                              'spark.speculation.quantile': '0.9'})\n"
-        "_scaling_job(spark, %r, limit=500, rows_hint=500)\n"
-        "t0 = time.perf_counter(); n = _scaling_job(spark, %r, rows_hint=%d)\n"
+        "main_pairing = %r\n"
+        "_scaling_job(spark, %r, limit=500, rows_hint=500, pairing=main_pairing)\n"
+        "t0 = time.perf_counter()\n"
+        "res = _scaling_job(spark, %r, rows_hint=%d)\n"
         "dt = time.perf_counter() - t0\n"
         "spark.stop()\n"
-        "print(json.dumps({'t': dt, 'pairs': n}))\n"
-    ) % (repo_dir, parquet_path, parquet_path, rows)
+        "print(json.dumps({'t': dt, 'pairs': res['pairs'], "
+        "'pairing': res['pairing']}))\n"
+    ) % (repo_dir, main_pairing, parquet_path, parquet_path, rows)
 
     def run_once(cores: int) -> float | None:
         cmd = [sys.executable, "-c", script, str(cores)]
@@ -251,7 +356,8 @@ def _measure_scaling() -> dict:
             return None
         payload = json.loads(proc.stdout.strip().splitlines()[-1])
         print(f"# scaling local[{cores}]: {payload['t']:.2f}s "
-              f"({payload['pairs']} pairs)", file=sys.stderr)
+              f"({payload['pairs']} pairs, pairing={payload['pairing']})",
+              file=sys.stderr)
         return payload["t"]
 
     def control_once(cores: int) -> float | None:
@@ -348,6 +454,7 @@ def _measure_scaling() -> dict:
         }
 
     result: dict = {"rows": rows, "cores": [lo, hi], "pinned": have_taskset,
+                    "pairing": main_pairing,
                     "rounds": len(times[lo]),
                     f"local{lo}_times": times[lo], f"local{hi}_times": times[hi],
                     f"control{lo}_times": ctrl_times[lo],
@@ -447,9 +554,14 @@ def main():
     from deepblocker_spark.session import get_spark
 
     t_suite0 = time.perf_counter()
-    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    # UI on for this session only: the REST stage API is the SparkListener
+    # data source for the per-query shuffle-byte evidence (VERDICT r2 #5)
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS),
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4050"},
+    )
     try:
-        timings = _run_queries(spark)
+        timings, shuffle_bytes = _run_queries(spark)
     finally:
         spark.stop()
 
@@ -460,6 +572,7 @@ def main():
         "queries": timings,
         "sf": SF_DIR,
         "wall_seconds": round(time.perf_counter() - t_suite0, 3),
+        "shuffle_bytes": shuffle_bytes,
     }
     try:
         out["single_node_flagship_seconds"] = _single_node_flagship()

@@ -59,6 +59,14 @@ class BlockerConfig:
     # to override.
     ivf_n_cells: int | None = None
     ivf_nprobe: int = 8
+    # Hash-directory layout for pipeline checkpoints: stages are written
+    # partitioned by _part = pmod(xxhash64(id), ckpt_hash_partitions), so
+    # resume reads can prune to a partition subset and the verify-stage
+    # joins carry the partition key (dynamic partition pruning prunes the
+    # token-side scan when the candidate side is filtered). At 100 TB this
+    # is the unit of incremental reprocessing; size it so one partition is
+    # a few GB. 0 disables (flat parquet).
+    ckpt_hash_partitions: int = 32
     # CTT/Hybrid inference mode: 'as_written' reproduces the reference quirk
     # (tuple_embedding_models.py:271-273 returns the aggregator embedding and
     # never applies the trained ctt model); 'paper' applies the trained

@@ -138,6 +138,7 @@ class CheckpointManager:
         parents: list[str] | None = None,
         force: bool = False,
         params: dict | None = None,
+        layout: tuple[str, int] | None = None,
     ) -> DataFrame:
         """Materialize ``df`` (or the DataFrame returned by a zero-arg
         callable — use a thunk when even *building* the plan is expensive,
@@ -153,21 +154,48 @@ class CheckpointManager:
         into the child's hash (ADVICE r2): a recomputed upstream stage —
         changed params or changed data — transitively invalidates every
         downstream checkpoint instead of leaving stale children that still
-        hash-match their own unchanged knobs."""
+        hash-match their own unchanged knobs.
+
+        ``layout=(col, n)`` (VERDICT r2 #6) writes the checkpoint
+        hash-directory-partitioned by ``_part = pmod(xxhash64(col), n)`` and
+        records the layout in the manifest. Resume reads can then prune to a
+        partition subset (``.filter("_part = k")`` is a planning-time
+        PartitionFilter, only matching directories are listed), and
+        downstream joins that carry ``_part`` as an equi-key get dynamic
+        partition pruning of this checkpoint's scan. The read-back frame
+        keeps the ``_part`` column for exactly that purpose."""
         data_path, mpath = self._paths(name)
-        phash = (
-            params_hash(self._chain_parents(params, parents))
-            if params is not None
+        layout_desc = (
+            {"type": "hash_dir", "col": layout[0], "n": layout[1],
+             "part_col": "_part"}
+            if layout and layout[1] > 0
             else None
         )
+        if params is not None:
+            phash = params_hash(
+                {**self._chain_parents(params, parents), "_layout": layout_desc}
+            )
+        else:
+            phash = None
         if not force and self.is_complete(name):
             man = self.manifest(name)
-            if phash is None or man.get("params_hash") == phash:
+            if (phash is None or man.get("params_hash") == phash) and man.get(
+                "layout"
+            ) == layout_desc:
                 return self.spark.read.parquet(data_path)
 
         df = df_or_thunk() if callable(df_or_thunk) else df_or_thunk
         t0 = time.perf_counter()
-        df.write.mode("overwrite").parquet(data_path)
+        if layout_desc:
+            col, n = layout
+            if "_part" in df.columns:  # stale helper from an upstream stage
+                df = df.drop("_part")
+            df = df.withColumn(
+                "_part", F.pmod(F.xxhash64(F.col(col)), F.lit(n)).cast("int")
+            )
+            df.write.mode("overwrite").partitionBy("_part").parquet(data_path)
+        else:
+            df.write.mode("overwrite").parquet(data_path)
         out = self.spark.read.parquet(data_path)
         wall = time.perf_counter() - t0
         # one aggregation pass yields rows, the global fingerprint AND the
@@ -186,6 +214,7 @@ class CheckpointManager:
             "parents": parents or [],
             "params_hash": phash,
             "params": params,
+            "layout": layout_desc,
         }
         tmp = mpath + ".tmp"
         with open(tmp, "w") as f:
@@ -268,12 +297,18 @@ def run_blocking_pipeline(
         model.preprocess(pre.select(MERGED_TEXT))
         return model.embed(pre)
 
+    # hash-directory layout shared by all stages: partition col derives
+    # from the stage's left/driving id, so resume reads prune and the
+    # verify joins below carry the partition key (VERDICT r2 #6)
+    n_part = cfg.ckpt_hash_partitions
+
     emb = ckpt.stage(
         "embeddings", build_embeddings, [id_col], force=force,
         params={"cols_to_block": cols_to_block, "id_col": id_col,
                 "emb_dim": cfg.emb_dim, "remove_pc": cfg.remove_pc,
                 "sif_a": cfg.sif_weighting_param,
                 "random_seed": cfg.random_seed},
+        layout=(id_col, n_part),
     )
 
     n_rows = ckpt.manifest("embeddings")["rows"]
@@ -320,6 +355,7 @@ def run_blocking_pipeline(
                 "lsh": [cfg.lsh_n_bands, cfg.lsh_band_bits,
                         cfg.lsh_max_bucket_rows] if mode == "lsh" else None,
                 "ivf": [cfg.ivf_n_cells, cfg.ivf_nprobe] if mode == "ivf" else None},
+        layout=("l_id", n_part),
     )
     # the candidates stage is materialized: release the signature /
     # assignment caches the ANN operators persisted for their single-pass
@@ -335,20 +371,47 @@ def run_blocking_pipeline(
         if min_sim is not None:
             out = out.filter(F.col("sim") >= min_sim)
         if verify_jaccard is not None:
-            toks = emb.select(
+            # Both checkpoints share the hash-dir layout, so the verify
+            # joins carry the partition key as an extra equi-key (it is a
+            # pure function of the id key — semantically a no-op): when the
+            # candidate side is filtered (incremental verify, resume of a
+            # partition subset), dynamic partition pruning skips the
+            # non-matching directories of the embeddings checkpoint instead
+            # of scanning all of it (VERDICT r2 #6).
+            has_layout = n_part > 0 and "_part" in cands.columns
+            tok_cols = [
                 F.col(id_col),
                 F.array_distinct(tokens_col(MERGED_TEXT)).alias("_toks"),
-            )
-            tl = toks.select(
-                F.col(id_col).alias("l_id"), F.col("_toks").alias("_tl")
-            )
-            tr = toks.select(
-                F.col(id_col).alias("r_id"), F.col("_toks").alias("_tr")
-            )
+            ] + ([F.col("_part")] if has_layout else [])
+            toks = emb.select(*tok_cols)
+            if has_layout:
+                tl = toks.select(
+                    F.col(id_col).alias("l_id"), F.col("_toks").alias("_tl"),
+                    "_part",
+                )
+                tr = toks.select(
+                    F.col(id_col).alias("r_id"), F.col("_toks").alias("_tr"),
+                    F.col("_part").alias("_rpart"),
+                )
+                out = (
+                    out.withColumn(
+                        "_rpart",
+                        F.pmod(F.xxhash64(F.col("r_id")), F.lit(n_part)).cast("int"),
+                    )
+                    .join(tl, ["l_id", "_part"])
+                    .join(tr, ["r_id", "_rpart"])
+                    .drop("_rpart")
+                )
+            else:
+                tl = toks.select(
+                    F.col(id_col).alias("l_id"), F.col("_toks").alias("_tl")
+                )
+                tr = toks.select(
+                    F.col(id_col).alias("r_id"), F.col("_toks").alias("_tr")
+                )
+                out = out.join(tl, "l_id").join(tr, "r_id")
             out = (
-                out.join(tl, "l_id")
-                .join(tr, "r_id")
-                .withColumn("_inter", F.size(F.array_intersect("_tl", "_tr")))
+                out.withColumn("_inter", F.size(F.array_intersect("_tl", "_tr")))
                 .withColumn(
                     "jaccard",
                     F.col("_inter")
@@ -363,6 +426,7 @@ def run_blocking_pipeline(
         "scored", build_scored, ["l_id", "r_id"], parents=["candidates"],
         force=force,
         params={"min_sim": min_sim, "verify_jaccard": verify_jaccard},
+        layout=("l_id", n_part),
     )
 
     def build_clusters() -> DataFrame:

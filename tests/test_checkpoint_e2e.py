@@ -225,3 +225,72 @@ def test_pipeline_ivf_pairing_end_to_end_f1(spark, repo_df, tmp_path):
     gold = _golden_pairs(spark, df)
     row = pairwise_f1(pred, gold).collect()[0]
     assert row["f1"] >= 0.99, dict(row.asDict())
+
+
+def _plan_text(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_checkpoint_hash_layout_prunes(spark, repo_df, tmp_path):
+    """VERDICT r2 #6: pipeline checkpoints are hash-directory-partitioned
+    (_part = pmod(xxhash64(id), P)); the manifest records the layout; a
+    partition-subset read is pruned at planning time; and the verify-stage
+    join carries _part as an equi-key, so a filtered candidate side prunes
+    the embeddings-checkpoint scan to only the matching partitions."""
+    df, _ = repo_df
+    base = str(tmp_path / "ckpt_layout")
+    ckpt = CheckpointManager(spark, base)
+    run_blocking_pipeline(
+        spark, df, ckpt, ["repo", "path", "lang", "content"],
+        id_col="id", k=10, verify_jaccard=0.4, config=CFG,
+    )
+    p = CFG.ckpt_hash_partitions
+    for stage, col in (("embeddings", "id"), ("candidates", "l_id"),
+                       ("scored", "l_id")):
+        assert ckpt.manifest(stage)["layout"] == {
+            "type": "hash_dir", "col": col, "n": p, "part_col": "_part",
+        }, stage
+    # hash-dir directories actually exist on disk
+    cand_dir = os.path.join(base, "candidates", "data.parquet")
+    assert any(d.startswith("_part=") for d in os.listdir(cand_dir))
+
+    # (a) resume read of a partition subset: planning-time partition filter,
+    # only matching directories scanned
+    import re
+
+    cands = spark.read.parquet(cand_dir)
+    plan = _plan_text(cands.filter(F.col("_part") == 3))
+    # plan expressions carry #ids: "PartitionFilters: [..., (_part#123 = 3)]"
+    part_filter = re.compile(r"\(_part#\d+ = 3\)")
+    assert "PartitionFilters" in plan and part_filter.search(plan), plan
+
+    # the layout column is consistent with the manifest formula
+    bad = cands.filter(
+        F.col("_part") != F.pmod(F.xxhash64(F.col("l_id")), F.lit(p)).cast("int")
+    ).count()
+    assert bad == 0
+
+    # (b) verify-stage join shape: candidate side filtered to one partition
+    # + join on (l_id, _part) => the embeddings-checkpoint scan is pruned to
+    # that partition (static constraint propagation or dynamic pruning —
+    # either proves only matching partitions are scanned)
+    emb = spark.read.parquet(os.path.join(base, "embeddings", "data.parquet"))
+    from deepblocker_spark.functions.tokenizer import tokens_col
+    from deepblocker_spark.operators.preprocess import MERGED_TEXT
+
+    tl = emb.select(
+        F.col("id").alias("l_id"),
+        F.array_distinct(tokens_col(MERGED_TEXT)).alias("_tl"),
+        "_part",
+    )
+    joined = cands.filter(F.col("_part") == 3).join(tl, ["l_id", "_part"])
+    plan = _plan_text(joined)
+    # both scans must carry the partition filter
+    assert len(part_filter.findall(plan)) >= 2, plan
+    joined.count()  # executes — the pruned join is actually runnable

@@ -87,3 +87,65 @@ def test_streaming_minhash_neardup_finds_cross_batch_pairs(spark, tmp_path):
     )
     assert set(zip(got["new_id"], got["seen_id"])) == {("200", "100")}
     assert (got["est_jaccard"] >= 0.5).all()
+
+
+def test_streaming_batch_minhash_parity(spark, tmp_path):
+    """VERDICT r2 #7 — streaming<->batch parity gate: the same fixture fed
+    through `streaming_minhash_neardup` and the batch `minhash_lsh_pairs`
+    (which share the minhash signature expressions and banding) must agree:
+    every batch pair (exact Jaccard >= 0.5 after LSH candidate generation)
+    is also surfaced by the stream at a lower est-Jaccard threshold (the
+    estimate of a >=0.5-Jaccard pair clears 0.3 with margin at 16 hashes;
+    both sides are fully deterministic). State cap is left at its default
+    (256 >> fixture bucket sizes), so no documented-cap exclusions apply."""
+    from deepblocker_spark.operators.dedup import minhash_lsh_pairs
+    from deepblocker_spark.streaming.dedup_stream import streaming_minhash_neardup
+
+    rows = []
+    for c in range(10):
+        # distinct per-cluster vocabulary -> no cross-cluster collisions;
+        # variants differ by one trailing token -> high intra-cluster Jaccard
+        words = " ".join(f"w{c}x{i}" for i in range(12))
+        rows.append((c * 10, words))
+        rows.append((c * 10 + 1, words + f" extra{c}"))
+        if c % 2 == 0:
+            rows.append((c * 10 + 2, words + f" other{c}"))
+    rows.append((900, "entirely unrelated singleton document content one"))
+    rows.append((901, "another unique text with no duplicate partner at all"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    batch = minhash_lsh_pairs(
+        df, num_hashes=16, n_bands=8, jaccard_threshold=0.5
+    ).toPandas()
+    batch_pairs = {
+        tuple(sorted((str(a), str(b)))) for a, b in zip(batch["a"], batch["b"])
+    }
+    assert len(batch_pairs) >= 10  # the fixture really has near-dups
+
+    in_path = str(tmp_path / "par_in")
+    out_path = str(tmp_path / "par_out")
+    df.coalesce(1).write.parquet(in_path)
+    q = (
+        streaming_minhash_neardup(
+            spark.readStream.schema(df.schema).parquet(in_path),
+            num_hashes=16, n_bands=8, min_est_jaccard=0.3,
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "par_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path).toPandas()
+    stream_pairs = {
+        tuple(sorted((a, b))) for a, b in zip(got["new_id"], got["seen_id"])
+    }
+    missing = batch_pairs - stream_pairs
+    assert not missing, f"stream missed batch pairs: {missing}"
+    # and the stream emits no cross-cluster junk: every streamed pair with a
+    # decent estimate shares a cluster (ids within 10 of each other) or is a
+    # banding candidate the batch verify rejected — none of the singletons
+    for a, b in stream_pairs:
+        assert abs(int(a) - int(b)) < 10, (a, b)

@@ -108,11 +108,15 @@ def main() -> None:
         n_bands=8, band_bits=8, seed=3,
     )
     audits["lsh_candidates"] = (
-        ["BroadcastHashJoin", "!SortMergeJoin",
+        ["!SortMergeJoin", "!BroadcastHashJoin", "InMemoryRelation",
+         "1:InMemoryFileIndex",
+         "hashpartitioning(band", "hashpartitioning(l_id",
          "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
-        "oversized-bucket list broadcast (no shuffle join of the signature "
-        "table); the signature pass carries the vector, so no join back to "
-        "the source; scan pruned to (id, embedding)",
+        "single signature pass: ONE source scan (1:InMemoryFileIndex) into a "
+        "persisted frame (InMemoryRelation) consumed by both the bucket-size "
+        "agg and the candidate kernel; healthy path (no oversized buckets) "
+        "has NO join of any kind; exactly the two required exchanges "
+        "(bucket key, then l_id); scan pruned to (id, embedding)",
     )
     qs["lsh_candidates"] = lambda *_: lsh_plan_df
 
@@ -128,13 +132,16 @@ def main() -> None:
     )
     audits["ivf_topk"] = (
         ["MapInPandas", "!FlatMapGroupsInPandas", "!SortMergeJoin",
-         "!BroadcastHashJoin", "hashpartitioning(cell",
+         "!BroadcastHashJoin", "InMemoryRelation", "1:InMemoryFileIndex",
+         "hashpartitioning(cell",
          "hashpartitioning(l_id",
          "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
         "both grouped stages are sort-based grouped maps (one Python call "
-        "per batch of whole groups, not per group); no joins anywhere; "
-        "exactly the two hash exchanges (cell, then l_id) that the "
-        "algorithm requires; scan pruned to (id, embedding)",
+        "per batch of whole groups, not per group); no joins anywhere; ONE "
+        "source scan into a persisted assignment frame consumed by both the "
+        "cell-size agg and the search kernel; exactly the two hash "
+        "exchanges (cell, then l_id) that the algorithm requires; scan "
+        "pruned to (id, embedding)",
     )
     qs["ivf_topk"] = lambda *_: ivf_plan_df
 
@@ -151,6 +158,11 @@ def main() -> None:
         for needle in must_contain:
             if needle.startswith("!"):
                 ok = needle[1:] not in plan
+            elif needle[:2] == "1:":
+                # count needle: the text must occur EXACTLY once (e.g. one
+                # "Location: InMemoryFileIndex" line per scan node proves a
+                # single source scan feeds the whole plan)
+                ok = plan.count(needle[2:]) == 1
             else:
                 ok = needle in plan
             checks.append((needle, ok))
