@@ -381,7 +381,12 @@ def _measure_scaling() -> dict:
     # max_rounds) until each engine level has two runs within 15% of its
     # own minimum — evidence the minimum is a real clean-window time, not
     # a lucky outlier, and that the level was actually measured.
-    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", "8"))
+    # 240k-row LSH runs cost ~2 min (local[8]) / ~8 min (local[2]) each, so
+    # the adaptive budget is tighter at large SCALE_ROWS: 4 rounds bounds
+    # the scaling section at ~45 min worst case while still allowing one
+    # bad-phase round to be outvoted.
+    default_max = "4" if rows >= 100_000 else "8"
+    max_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_MAX_ROUNDS", default_max))
 
     def stable(ts: list[float]) -> bool:
         if len(ts) < 2:
@@ -523,6 +528,52 @@ def _measure_scaling() -> dict:
     return result
 
 
+def _scoring_microbench(n: int = 100_000) -> dict:
+    """score_candidates' string-similarity knob on >=100k pairs (VERDICT r2
+    #4 done-criterion): the vectorized numpy Jaro-Winkler batch kernel (the
+    in-sandbox fallback when rapidfuzz/jellyfish are absent) vs the scalar
+    reference implementation, identical scores asserted on a sample. Scalar
+    is timed on a 20k subsample (it is the slow side) and reported as a
+    per-pair rate; speedup = rate ratio."""
+    import numpy as np
+
+    from deepblocker_spark.operators.scoring import jaro_winkler, jaro_winkler_batch
+
+    rng = np.random.default_rng(7)
+    vocab = np.array(
+        [
+            "".join(chr(97 + c) for c in rng.integers(0, 26, rng.integers(4, 18)))
+            for _ in range(5_000)
+        ],
+        dtype=object,
+    )
+    a = vocab[rng.integers(0, len(vocab), n)]
+    b = vocab[rng.integers(0, len(vocab), n)]
+    # half the pairs are near-duplicates (shared long prefix) — the regime a
+    # verify stage actually scores
+    half = n // 2
+    b[:half] = np.array([s + "x" for s in a[:half]], dtype=object)
+
+    t0 = time.perf_counter()
+    batch = jaro_winkler_batch(a, b)
+    t_batch = time.perf_counter() - t0
+
+    sub = rng.integers(0, n, 20_000)
+    t1 = time.perf_counter()
+    scalar = np.array([jaro_winkler(a[i], b[i]) for i in sub])
+    t_scalar = time.perf_counter() - t1
+    assert np.allclose(batch[sub], scalar), "batch kernel diverged from scalar"
+    rate_batch = n / t_batch
+    rate_scalar = len(sub) / t_scalar
+    return {
+        "pairs": n,
+        "batch_seconds": round(t_batch, 3),
+        "batch_pairs_per_sec": round(rate_batch),
+        "scalar_pairs_per_sec": round(rate_scalar),
+        "speedup": round(rate_batch / rate_scalar, 2),
+    }
+
+
 def _single_node_flagship() -> float:
     """Time the faithful single-node (pandas/numpy) implementation of the
     flagship pipeline on the same sf documents — the match-or-beat baseline
@@ -578,6 +629,10 @@ def main():
         out["single_node_flagship_seconds"] = _single_node_flagship()
     except Exception as e:  # baseline is informational; never fail the bench
         out["single_node_flagship_error"] = str(e)[:200]
+    try:
+        out["scoring_jw"] = _scoring_microbench()
+    except Exception as e:
+        out["scoring_jw_error"] = str(e)[:200]
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         out["scaling"] = _measure_scaling()
     print(json.dumps(out))

@@ -54,20 +54,24 @@ def content_fingerprint(df: DataFrame, key_cols: list[str]) -> int:
     return int((int(row["s"] or 0)) % (2**63)) ^ int(row["n"])
 
 
-def partition_stats(df: DataFrame, key_cols: list[str]):
+def partition_stats(df: DataFrame, key_cols: list[str], part_col: str | None = None):
     """Per-partition lineage metrics in ONE aggregation job (north_rule:
-    "checkpoints ... per partition with lineage + metrics"): for each read
+    "checkpoints ... per partition with lineage + metrics"): for each
     partition of the checkpoint, its row count and order-insensitive
     fingerprint; plus the global (rows, fingerprint) derived from the same
     pass — the global fingerprint is bit-identical to content_fingerprint().
 
-    Partition ids reflect how the checkpoint READS back (the layout a
-    resume actually consumes), which is the operationally relevant unit;
-    the per-partition list is lineage metrics, while resume integrity is
-    gated on the global values (read partitioning can legally change with
-    scan configuration)."""
+    ``part_col`` (set when the stage has a hash-dir layout) keys the stats
+    on the DURABLE partition column — those entries are stable across
+    re-reads, so a single partition can be re-verified after a partial
+    resume (``CheckpointManager.verify(name, part=k)`` prunes to one
+    directory). Without a layout the stats fall back to read-partition ids,
+    which are lineage metrics only (read partitioning can legally change
+    with scan configuration); resume integrity is always gated on the
+    global values."""
+    pid = F.col(part_col) if part_col else F.spark_partition_id()
     h = df.select(
-        F.spark_partition_id().alias("pid"),
+        pid.alias("pid"),
         F.xxhash64(*[F.col(c) for c in key_cols]).alias("h"),
     )
     rows = (
@@ -199,8 +203,11 @@ class CheckpointManager:
         out = self.spark.read.parquet(data_path)
         wall = time.perf_counter() - t0
         # one aggregation pass yields rows, the global fingerprint AND the
-        # per-partition lineage metrics (previously two separate jobs)
-        parts, fingerprint, n_rows = partition_stats(out, key_cols)
+        # per-partition lineage metrics (previously two separate jobs);
+        # layout stages key the stats on the durable _part column
+        parts, fingerprint, n_rows = partition_stats(
+            out, key_cols, part_col="_part" if layout_desc else None
+        )
         man = {
             "stage": name,
             "rows": n_rows,
@@ -222,14 +229,32 @@ class CheckpointManager:
         os.replace(tmp, mpath)  # atomic commit: manifest appears only complete
         return out
 
-    def verify(self, name: str) -> bool:
+    def verify(self, name: str, part: int | None = None) -> bool:
         """Re-derive the fingerprint from the checkpoint data and compare to
-        the manifest (integrity check for resume)."""
+        the manifest (integrity check for resume). With ``part`` and a
+        hash-dir layout, verifies only that partition — the read prunes to
+        one directory and compares against the manifest's per-partition
+        entry, the incremental-integrity unit at scale."""
         man = self.manifest(name)
         if man is None:
             return False
         data_path, _ = self._paths(name)
         df = self.spark.read.parquet(data_path)
+        if part is not None:
+            if not man.get("layout"):
+                raise ValueError(f"stage {name!r} has no layout; cannot "
+                                 "verify a single partition")
+            entry = next(
+                (p for p in man["partitions"] if p["pid"] == part), None
+            )
+            sub = df.filter(F.col(man["layout"]["part_col"]) == part)
+            if entry is None:  # absent dir must really be empty
+                return sub.count() == 0
+            return (
+                sub.count() == entry["rows"]
+                and content_fingerprint(sub, man["key_cols"])
+                == entry["fingerprint"]
+            )
         return (
             df.count() == man["rows"]
             and content_fingerprint(df, man["key_cols"]) == man["content_fingerprint"]
