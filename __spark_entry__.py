@@ -501,6 +501,79 @@ def q_flagship_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cand_jw_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # north_star "pairwise scoring of candidates" stage as a full value
+    # oracle: banded-minhash LSH candidates re-scored with Jaro-Winkler
+    # (classic-Winkler 0.7 boost threshold — DuckDB's
+    # jaro_winkler_similarity semantics; vectorized numpy batch kernel over
+    # Arrow batches) and the JVM levenshtein ratio, both over 64-char text
+    # prefixes. Candidate gen + join-back + Arrow scoring in one plan.
+    from deepblocker_spark.operators.scoring import (
+        levenshtein_ratio_col,
+        make_jaro_winkler_udf,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, n_bands=8, jaccard_threshold=0.9
+    )
+    txt = docs.select("doc_id", F.substring("text", 1, 64).alias("_t"))
+    jw = make_jaro_winkler_udf(boost_threshold=0.7)
+    return (
+        pairs.select("a", "b")
+        .join(txt.select(F.col("doc_id").alias("a"), F.col("_t").alias("_ta")), "a")
+        .join(txt.select(F.col("doc_id").alias("b"), F.col("_t").alias("_tb")), "b")
+        .select(
+            "a", "b",
+            F.round(jw(F.col("_ta"), F.col("_tb")), 6).alias("jw"),
+            F.round(
+                levenshtein_ratio_col(F.col("_ta"), F.col("_tb")), 6
+            ).alias("lev_ratio"),
+        )
+    )
+
+
+def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sparse lexical scoring: L2-normalized TF-IDF vectors (explode + JVM
+    # hash aggs, no UDF) dotted over the minhash candidate set via a
+    # token-keyed join — the lexical companion to the dense-embedding
+    # cosine; full value oracle.
+    from deepblocker_spark.operators.scoring import tfidf_cosine_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, n_bands=8, jaccard_threshold=0.9
+    )
+    out = tfidf_cosine_scores(
+        pairs.select("a", "b"), docs, id_col="doc_id", text_col="text"
+    )
+    return out.select("a", "b", F.round("tfidf_cos", 6).alias("tfidf_cos"))
+
+
+def q_nearest_name_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # nearest-name join: per customer, the supplier in its nation with the
+    # smallest edit distance (JVM codegen levenshtein; broadcast the small
+    # dim side; deterministic argmin via row_number tie-broken on suppkey).
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    scored = cust.join(
+        F.broadcast(supp), cust["c_nationkey"] == supp["s_nationkey"]
+    ).select(
+        "c_custkey", "s_suppkey",
+        F.levenshtein("c_name", "s_name").alias("lev"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("lev").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_custkey", "s_suppkey", F.col("lev").cast("long").alias("lev"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "preprocess_merge": q_preprocess_merge,
@@ -532,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_emb": q_lsh_topk_emb,
         "ivf_topk_emb": q_ivf_topk_emb,
         "simhash_docs": q_simhash_docs,
+        "cand_jw_scores": q_cand_jw_scores,
+        "tfidf_cosine": q_tfidf_cosine,
+        "nearest_name_lev": q_nearest_name_lev,
         "flagship_blocking": q_flagship_blocking,
     }
 
@@ -628,6 +704,53 @@ with base as (
 select a, b, round(inter::DOUBLE / (na + nb - inter), 9) as jaccard
 from verified
 where inter::DOUBLE / (na + nb - inter) >= 0.9
+"""
+
+    cand_jw_sql = f"""
+with pairs as ({minhash_pairs_sql})
+select p.a, p.b,
+       round(jaro_winkler_similarity(substr(da.text, 1, 64), substr(db.text, 1, 64)), 6) as jw,
+       round(1.0 - levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64))::DOUBLE
+                   / greatest(len(substr(da.text, 1, 64)), len(substr(db.text, 1, 64))), 6) as lev_ratio
+from pairs p
+join documents da on p.a = da.doc_id
+join documents db on p.b = db.doc_id
+"""
+
+    tfidf_cosine_sql = f"""
+with pairs as ({minhash_pairs_sql}),
+tok as (select doc_id as id, unnest({_TOKS}) as token from documents),
+tf as (select id, token, count(*)::DOUBLE as tf from tok group by id, token),
+dft as (select token, count(*)::DOUBLE as df from tf group by token),
+tot as (select count(*)::DOUBLE as n from documents),
+w as (
+  select id, token, tf * (ln((n + 1) / (df + 1)) + 1.0) as w
+  from tf join dft using (token) cross join tot
+),
+nrm as (select id, sqrt(sum(w * w)) as nr from w group by id),
+v as (select w.id, token, w / nr as wn from w join nrm on w.id = nrm.id),
+dots as (
+  select p.a, p.b, sum(va.wn * vb.wn) as dot
+  from pairs p
+  join v va on va.id = p.a
+  join v vb on vb.id = p.b and vb.token = va.token
+  group by p.a, p.b
+)
+select p.a, p.b, round(coalesce(d.dot, 0.0), 6) as tfidf_cos
+from pairs p left join dots d on p.a = d.a and p.b = d.b
+"""
+
+    nearest_name_sql = """
+select c_custkey, s_suppkey, lev::BIGINT as lev
+from (
+  select c_custkey, s_suppkey, levenshtein(c_name, s_name) as lev,
+         row_number() over (
+           partition by c_custkey
+           order by levenshtein(c_name, s_name), s_suppkey
+         ) as rn
+  from customer join supplier on c_nationkey = s_nationkey
+)
+where rn = 1
 """
 
     ngram_sql = f"""
@@ -769,6 +892,9 @@ with t as (select doc_id, list_distinct({_TOKS}) as dtoks from documents)
 select doc_id, {_minhash_cols_sql(8)} from t
 """,
         "minhash_pairs": minhash_pairs_sql,
+        "cand_jw_scores": cand_jw_sql,
+        "tfidf_cosine": tfidf_cosine_sql,
+        "nearest_name_lev": nearest_name_sql,
         "ngram_jaccard": ngram_sql,
         "topk_cosine": topk_sql,
         "topk_cosine_dyadic": topk_dyadic_sql,

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+from deepblocker_spark.functions.tokenizer import tokens_col
+
 
 def cosine_col(a: Column, b: Column) -> Column:
     """JVM-side cosine between two array<float/double> columns; 0.0 when
@@ -65,8 +67,21 @@ def _jaro(s1: str, s2: str) -> float:
     return (matches / l1 + matches / l2 + (matches - t) / matches) / 3.0
 
 
-def jaro_winkler(s1: str, s2: str, p: float = 0.1, max_prefix: int = 4) -> float:
+def jaro_winkler(
+    s1: str,
+    s2: str,
+    p: float = 0.1,
+    max_prefix: int = 4,
+    boost_threshold: float = 0.0,
+) -> float:
+    """``boost_threshold`` selects the two published variants: 0.0 applies
+    the Winkler prefix bonus unconditionally (rapidfuzz semantics — any
+    common prefix implies jaro > 0, so 0.0 == always), 0.7 is Winkler's
+    original rule (bonus only when jaro > 0.7; DuckDB's
+    jaro_winkler_similarity — used by the oracle queries)."""
     j = _jaro(s1, s2)
+    if j <= boost_threshold:
+        return j
     prefix = 0
     for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
         if a == b:
@@ -91,7 +106,11 @@ except ImportError:
 
 
 def jaro_winkler_batch(
-    a: np.ndarray, b: np.ndarray, p: float = 0.1, max_prefix: int = 4
+    a: np.ndarray,
+    b: np.ndarray,
+    p: float = 0.1,
+    max_prefix: int = 4,
+    boost_threshold: float = 0.0,
 ) -> np.ndarray:
     """Vectorized Jaro-Winkler over a batch of string pairs (VERDICT r2 #4).
 
@@ -125,7 +144,9 @@ def jaro_winkler_batch(
         chunk = max(256, 100_000_000 // max(1, int(blen) * int(blen)))
         for s in range(0, len(sel), chunk):
             cs = sel[s : s + chunk]
-            out[cs] = _jw_bucket(a[cs], b[cs], l1[cs], l2[cs], p, max_prefix)
+            out[cs] = _jw_bucket(
+                a[cs], b[cs], l1[cs], l2[cs], p, max_prefix, boost_threshold
+            )
     return out
 
 
@@ -140,7 +161,7 @@ def _bits_below(k: np.ndarray) -> np.ndarray:
     return np.where(k >= 64, _U64_FULL, (_U64_ONE << kk) - _U64_ONE).astype(np.uint64)
 
 
-def _jw_bucket(a, b, l1, l2, p, max_prefix):
+def _jw_bucket(a, b, l1, l2, p, max_prefix, boost_threshold=0.0):
     """Bit-parallel greedy Jaro matching: each pair's unmatched-s2-position
     set lives in ceil(Lb/64) uint64 words, so one s1 position costs a few
     uint64 vector ops per word instead of a j-scan over the match window —
@@ -234,33 +255,124 @@ def _jw_bucket(a, b, l1, l2, p, max_prefix):
         ).argmax(axis=1)
     else:
         prefix = np.zeros(m, dtype=np.int64)
-    return jaro + prefix * p * (1.0 - jaro)
-
-
-@pandas_udf(DoubleType())
-def jaro_winkler_udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
-    """Arrow-batched Jaro-Winkler: in-batch pair dedup (ER candidate tables
-    compare hot records against many partners, and both orders score
-    identically), then either the C-backed scorer (rapidfuzz/jellyfish when
-    installed) or the vectorized numpy batch kernel."""
-    a = np.asarray([x or "" for x in s1], dtype=object)
-    b = np.asarray([x or "" for x in s2], dtype=object)
-    swap = a > b  # canonical order: JW(a,b) == JW(b,a) for this definition
-    a2 = np.where(swap, b, a)
-    b2 = np.where(swap, a, b)
-    keys = np.char.add(
-        np.char.add(a2.astype(str), "\x1f"), b2.astype(str)
+    return np.where(
+        jaro > boost_threshold, jaro + prefix * p * (1.0 - jaro), jaro
     )
-    _, first_idx, inverse = np.unique(keys, return_index=True, return_inverse=True)
-    ua, ub = a2[first_idx], b2[first_idx]
-    if _jw_fast is not None:
-        uniq = np.fromiter(
-            (_jw_fast(x, y) for x, y in zip(ua, ub)), dtype=np.float64,
-            count=len(ua),
+
+
+def make_jaro_winkler_udf(boost_threshold: float = 0.0):
+    """Arrow-batched Jaro-Winkler pandas UDF: in-batch pair dedup (ER
+    candidate tables compare hot records against many partners, and both
+    orders score identically), then either the C-backed scorer
+    (rapidfuzz/jellyfish when installed — only for boost_threshold=0.0,
+    their semantics) or the vectorized numpy batch kernel. Use
+    ``boost_threshold=0.7`` for classic-Winkler / DuckDB parity."""
+
+    @pandas_udf(DoubleType())
+    def _udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        a = np.asarray([x or "" for x in s1], dtype=object)
+        b = np.asarray([x or "" for x in s2], dtype=object)
+        swap = a > b  # canonical order: JW(a,b) == JW(b,a)
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        keys = np.char.add(
+            np.char.add(a2.astype(str), "\x1f"), b2.astype(str)
         )
-    else:
-        uniq = jaro_winkler_batch(ua, ub)
-    return pd.Series(uniq[inverse])
+        _, first_idx, inverse = np.unique(
+            keys, return_index=True, return_inverse=True
+        )
+        ua, ub = a2[first_idx], b2[first_idx]
+        if _jw_fast is not None and boost_threshold == 0.0:
+            uniq = np.fromiter(
+                (_jw_fast(x, y) for x, y in zip(ua, ub)), dtype=np.float64,
+                count=len(ua),
+            )
+        else:
+            uniq = jaro_winkler_batch(ua, ub, boost_threshold=boost_threshold)
+        return pd.Series(uniq[inverse])
+
+    return _udf
+
+
+jaro_winkler_udf = make_jaro_winkler_udf(0.0)
+
+
+def levenshtein_ratio_col(a: Column, b: Column) -> Column:
+    """JVM-side normalized edit similarity: 1 - levenshtein/max(len); 1.0
+    when both strings are empty. Whole-stage-codegen'd — the cheap exact
+    companion to the Jaro-Winkler UDF for candidate re-scoring."""
+    denom = F.greatest(F.length(a), F.length(b))
+    return F.when(denom > 0, 1.0 - F.levenshtein(a, b) / denom).otherwise(
+        F.lit(1.0)
+    )
+
+
+def tfidf_vectors(
+    docs: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """Sparse L2-normalized TF-IDF vectors as (id, token, wn) rows — pure
+    JVM explode + hash aggregations, no UDF. idf = ln((N+1)/(df+1)) + 1
+    (smooth, sklearn-style). The token weight table is the sparse analogue
+    of the dense embedding column: at 100 TB it lives distributed, keyed by
+    token for the pair-scoring join, and never materializes a vocabulary on
+    the driver."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("token")
+    )
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    total = docs.select(F.count("*").alias("_n"))
+    w = (
+        tf.join(df_t, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id", "token",
+            (
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("df") + 1)) + 1.0)
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("_norm"))
+    return w.join(norms, "id").select(
+        "id", "token", (F.col("w") / F.col("_norm")).alias("wn")
+    )
+
+
+def tfidf_cosine_scores(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Lexical cosine over candidate pairs: dot product of the two sides'
+    normalized sparse TF-IDF vectors, summed per pair with a token-keyed
+    join. Cost is bounded by the candidate set x shared tokens (never
+    all-pairs); pairs sharing no token keep score 0.0 via the left join."""
+    vecs = tfidf_vectors(docs, id_col=id_col, text_col=text_col)
+    va = vecs.select(
+        F.col("id").alias(a_col), "token", F.col("wn").alias("_wa")
+    )
+    vb = vecs.select(
+        F.col("id").alias(b_col), "token", F.col("wn").alias("_wb")
+    )
+    dots = (
+        pairs.select(a_col, b_col)
+        .join(va, a_col)
+        .join(vb, [b_col, "token"])
+        .groupBy(a_col, b_col)
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_dot"))
+    )
+    return (
+        pairs.select(a_col, b_col)
+        .join(dots, [a_col, b_col], "left")
+        .select(
+            a_col, b_col,
+            F.coalesce(F.col("_dot"), F.lit(0.0)).alias("tfidf_cos"),
+        )
+    )
 
 
 def score_candidates(

@@ -193,11 +193,79 @@ def test_jaro_winkler_batch_matches_scalar_property():
     def check(pairs):
         a = np.asarray([x for x, _ in pairs], dtype=object)
         b = np.asarray([y for _, y in pairs], dtype=object)
-        got = jaro_winkler_batch(a, b)
-        want = np.asarray([jaro_winkler(x, y) for x, y in pairs])
-        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+        for bt in (0.0, 0.7):  # rapidfuzz-style and classic-Winkler/DuckDB
+            got = jaro_winkler_batch(a, b, boost_threshold=bt)
+            want = np.asarray(
+                [jaro_winkler(x, y, boost_threshold=bt) for x, y in pairs]
+            )
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
 
     check()
+
+
+def test_jaro_winkler_boost_threshold_duckdb_parity():
+    """boost_threshold=0.7 must reproduce DuckDB's jaro_winkler_similarity
+    (the cand_jw_scores oracle) bit-for-bit on non-empty strings."""
+    import numpy as np
+
+    duckdb = pytest.importorskip("duckdb")
+    from deepblocker_spark.operators.scoring import jaro_winkler_batch
+
+    rng = np.random.default_rng(11)
+    chars = np.array(list("abcde "))
+    pairs = [
+        (
+            "".join(rng.choice(chars, rng.integers(1, 20))),
+            "".join(rng.choice(chars, rng.integers(1, 20))),
+        )
+        for _ in range(800)
+    ]
+    got = jaro_winkler_batch(
+        np.asarray([p[0] for p in pairs], dtype=object),
+        np.asarray([p[1] for p in pairs], dtype=object),
+        boost_threshold=0.7,
+    )
+    con = duckdb.connect()
+    con.execute("create table p(a varchar, b varchar, i int)")
+    con.executemany(
+        "insert into p values (?,?,?)",
+        [(a, b, i) for i, (a, b) in enumerate(pairs)],
+    )
+    want = np.array(
+        [r[0] for r in con.execute(
+            "select jaro_winkler_similarity(a,b) from p order by i"
+        ).fetchall()]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tfidf_cosine_scores(spark):
+    """Identical texts -> 1.0; token-disjoint texts -> 0.0 (kept via the
+    left join); partial overlap strictly between. Pure-JVM plan (no UDF)."""
+    from deepblocker_spark.operators.scoring import tfidf_cosine_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red apple pie"),
+            (2, "red apple pie"),
+            (3, "blue sky"),
+            (4, "red sky"),
+        ],
+        ["id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], ["a", "b"]
+    )
+    out = {
+        (r["a"], r["b"]): r["tfidf_cos"]
+        for r in tfidf_cosine_scores(pairs, docs).collect()
+    }
+    assert len(out) == 3
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert out[(1, 3)] == 0.0
+    assert 0.0 < out[(3, 4)] < 1.0
+    plan = tfidf_cosine_scores(pairs, docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_jaro_winkler_batch_known_values():
