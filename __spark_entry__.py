@@ -238,6 +238,27 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("id", "component")
 
 
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # survivorship: after transitive clustering, pick the golden record per
+    # component (longest text wins, id tie-break) with cluster size — the
+    # canonicalization stage of an ER pipeline. Full value oracle.
+    from deepblocker_spark.operators.cluster import canonical_records
+
+    clusters = q_cc_components(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+    out = canonical_records(
+        clusters, docs, order_by=[F.desc("n_chars")]
+    )
+    return out.select(
+        "component",
+        F.col("id").alias("canonical_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def q_golden_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O28-O30: filter labeled splits to label==1, union, project
     orders = _t(spark, sf_dir, "orders").select(
@@ -589,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "knn_recall": q_knn_recall,
         "cc_components": q_cc_components,
+        "cluster_canonical": q_cluster_canonical,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
         "mktsegment_orders": q_mktsegment_orders,
@@ -858,6 +880,19 @@ with recursive pairs as (
 select id, min(r) as component from reach group by id
 """
 
+    canonical_sql = f"""
+select component, id as canonical_id, n_members, n_chars
+from (
+  select c.component, c.id, d.n_chars,
+         count(*) over (partition by c.component) as n_members,
+         row_number() over (
+           partition by c.component order by d.n_chars desc, c.id
+         ) as rn
+  from ({cc_sql}) c join documents d on c.id = d.doc_id
+)
+where rn = 1
+"""
+
     return {
         "preprocess_merge": """
 select doc_id,
@@ -901,6 +936,7 @@ select doc_id, {_minhash_cols_sql(8)} from t
         "emb_neardup": neardup_sql,
         "knn_recall": knn_recall_sql,
         "cc_components": cc_sql,
+        "cluster_canonical": canonical_sql,
         "golden_etl": """
 select o_custkey as ltable_id, o_orderkey as rtable_id
 from orders

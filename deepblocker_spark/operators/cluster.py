@@ -165,6 +165,36 @@ def clusters_from_candidates(
     return connected_components(e)
 
 
+def canonical_records(
+    clusters: DataFrame,
+    records: DataFrame,
+    id_col: str = "id",
+    order_by: list | None = None,
+) -> DataFrame:
+    """Survivorship: one canonical record per component (the golden-record
+    step after transitive clustering). ``order_by`` ranks members (e.g.
+    ``[F.desc("n_chars")]`` — longest record wins); an ascending-id
+    tie-break is always appended so selection is deterministic. One shuffle
+    on component (both window functions share the partitioning); cluster
+    size rides along as ``n_members``."""
+    from pyspark.sql import Window
+
+    rec = (
+        records.withColumnRenamed(id_col, "id") if id_col != "id" else records
+    )
+    joined = clusters.join(rec, "id")
+    order = list(order_by) if order_by else []
+    order.append(F.asc("id"))
+    w = Window.partitionBy("component").orderBy(*order)
+    size_w = Window.partitionBy("component")
+    return (
+        joined.withColumn("n_members", F.count("*").over(size_w))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def clusters_to_pairs(clusters: DataFrame) -> DataFrame:
     """All undirected intra-cluster pairs (a < b) — the pairwise view used
     by the F1 metric. Join is co-partitioned on component (one shuffle).

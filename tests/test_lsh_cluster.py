@@ -239,6 +239,27 @@ def test_jaro_winkler_boost_threshold_duckdb_parity():
     np.testing.assert_array_equal(got, want)
 
 
+def test_canonical_records(spark):
+    """Survivorship: longest record wins per component, id tie-break,
+    cluster size attached; singleton clusters keep their only member."""
+    from deepblocker_spark.operators.cluster import canonical_records
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], ["id", "component"]
+    )
+    recs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (7, 5)], ["rid", "size"]
+    )
+    out = {
+        r["component"]: r
+        for r in canonical_records(
+            clusters, recs, id_col="rid", order_by=[F.desc("size")]
+        ).collect()
+    }
+    assert out[1]["id"] == 2 and out[1]["n_members"] == 3  # tie -> min id
+    assert out[7]["id"] == 7 and out[7]["n_members"] == 1
+
+
 def test_tfidf_cosine_scores(spark):
     """Identical texts -> 1.0; token-disjoint texts -> 0.0 (kept via the
     left join); partial overlap strictly between. Pure-JVM plan (no UDF)."""
