@@ -251,11 +251,12 @@ _CONTROL_SCRIPT = """
 import sys, time
 import numpy as np
 import multiprocessing as mp
+ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 120
 def work(_):
     rng = np.random.default_rng(0)
     a = rng.standard_normal((1500, 64)).astype(np.float32)
     acc = 0.0
-    for i in range(120):
+    for i in range(ITERS):
         s = a @ a.T
         acc += float(s[0, 0])
     return acc
@@ -329,12 +330,20 @@ def _measure_scaling() -> dict:
         "from deepblocker_spark.session import get_spark\n"
         "from bench import _scaling_job\n"
         "cores = int(sys.argv[1])\n"
+        # Heap scales WITH the level (2g/core): N -> 4N executors on a real
+        # cluster means 4x total memory, so the faithful local[N]-vs-local[4N]
+        # emulation gives each level the same per-core memory. A FIXED heap
+        # instead models 4x executors crammed into the same RAM: at 240k rows
+        # the top-K merge sort then spills at local[8] but not local[2]
+        # (profiled: same stage 30s cpu at 2 cores vs 103s at 8), charging
+        # the high level a spill tax and reading as fake anti-scaling.
         "spark = get_spark(f'bench-scaling-{cores}', master=f'local[{cores}]',\n"
         "                  shuffle_partitions=64, arrow_max_records=10_000,\n"
         "                  extra_conf={'spark.speculation': 'true',\n"
         "                              'spark.speculation.interval': '2s',\n"
         "                              'spark.speculation.multiplier': '2.0',\n"
-        "                              'spark.speculation.quantile': '0.9'})\n"
+        "                              'spark.speculation.quantile': '0.9',\n"
+        "                              'spark.driver.memory': f'{2 * cores}g'})\n"
         "main_pairing = %r\n"
         "_scaling_job(spark, %r, limit=500, rows_hint=500, pairing=main_pairing)\n"
         "t0 = time.perf_counter()\n"
@@ -360,15 +369,27 @@ def _measure_scaling() -> dict:
               file=sys.stderr)
         return payload["t"]
 
+    # DURATION-MATCHED control (round-3 fix): this hypervisor throttles
+    # SUSTAINED multi-core work — burst runs stay fast, so a ~7s 8-core
+    # control certifies a ceiling the 60-140s engine runs never see, and
+    # engine-vs-control comparisons mix two different host regimes. The
+    # control's fixed total work therefore scales with the engine input so
+    # its wall time lands in the same duration class as the engine runs at
+    # both levels (~at 240k rows: ~100s @ 2 cores, ~27s @ 8 cores), and the
+    # throttle taxes both measurements alike.
+    control_iters = 120 * max(1, rows // 60_000)
+
     def control_once(cores: int) -> float | None:
-        cmd = [sys.executable, "-c", _CONTROL_SCRIPT, str(cores)]
+        cmd = [sys.executable, "-c", _CONTROL_SCRIPT, str(cores),
+               str(control_iters)]
         if have_taskset:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         proc = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
         if proc.returncode != 0:
             return None
         t = float(proc.stdout.strip().splitlines()[-1])
-        print(f"# host-control {cores} cores: {t:.2f}s", file=sys.stderr)
+        print(f"# host-control {cores} cores ({control_iters} iters): {t:.2f}s",
+              file=sys.stderr)
         return t
 
     # Control + engine interleaved per round, min per level for both.

@@ -145,6 +145,7 @@ def _embed_batch(
     dim: int,
     weights: dict[str, float] | None,
     empty_row_policy: str,
+    tok_lists: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized batch embedding: flat token lookup + segment mean.
     Returns (n x dim float32 matrix, token counts)."""
@@ -154,7 +155,8 @@ def _embed_batch(
     # stays float32 (fastText precision) and reuses per-batch-shaped buffers
     # via the normal allocator cycle — no float64 copies of the token matrix.
     provider = get_provider(dim)
-    tok_lists = [basic_english_tokenize(t) for t in texts]
+    if tok_lists is None:
+        tok_lists = [basic_english_tokenize(t) for t in texts]
     counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
     n = len(tok_lists)
     flat: list[str] = [t for toks in tok_lists for t in toks]
@@ -166,8 +168,14 @@ def _embed_batch(
                 (weights.get(t, 1.0) for t in flat), dtype=np.float32, count=len(flat)
             )
             mat = mat * w[:, None]
-        row_idx = np.repeat(np.arange(n), counts)
-        np.add.at(sums, row_idx, mat)
+        # segment-sum via add.reduceat over each doc's contiguous token
+        # slice: identical sequential float32 accumulation order to the
+        # previous np.add.at (tokens are laid out doc-major in `flat`), but
+        # buffered — add.at's unbuffered scatter was the embed stage's
+        # hottest line (~10-30x slower) in the 240k-row scaling profile.
+        nz = np.nonzero(counts > 0)[0]
+        starts = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
+        sums[nz] = np.add.reduceat(mat, starts, axis=0)
     nonempty = counts > 0
     np.divide(
         sums,
@@ -195,20 +203,37 @@ def embed_tuples(
     dim: int = 300,
     weights: dict[str, float] | None = None,
     empty_row_policy: str = "zero",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Average (weights=None, O12) or SIF (weights given, O15) embedding.
     SIF nuance preserved: mean of weighted vectors divides by the token
     count, not by the weight sum (tuple_embedding_models.py:124-130).
-    Adds columns: embedding array<float>, _n_tokens int."""
+    Adds columns: embedding array<float>, _n_tokens int.
+
+    ``tokens_col``: optional pre-tokenized array<string> column (from the
+    JVM :func:`tokens_col` expression — parity-locked with the Python
+    tokenizer). When given, the pandas kernel skips the per-row regex
+    pipeline entirely (token lists arrive through Arrow) and the column is
+    dropped from the output — tokenization happens once, JVM-side, in the
+    same scan. Token lists, and therefore embeddings, are bit-identical
+    either way (tests/test_tokenizer.py three-way parity)."""
     spark = df.sparkSession
     weights_bc = spark.sparkContext.broadcast(weights) if weights is not None else None
-    out_schema = _with_embedding_schema(df)
+    base = df.drop(tokens_col) if tokens_col is not None else df
+    out_schema = _with_embedding_schema(base)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w = weights_bc.value if weights_bc is not None else None
         for pdf in batches:
-            mat, counts = _embed_batch(pdf[text_col], dim, w, empty_row_policy)
-            out = pdf.copy()
+            if tokens_col is not None:
+                toks = [list(t) if t is not None else [] for t in pdf[tokens_col]]
+                mat, counts = _embed_batch(
+                    None, dim, w, empty_row_policy, tok_lists=toks
+                )
+                out = pdf.drop(columns=[tokens_col])
+            else:
+                mat, counts = _embed_batch(pdf[text_col], dim, w, empty_row_policy)
+                out = pdf.copy()
             out[EMBEDDING] = list(mat)
             out[N_TOKENS] = counts.astype("int32")
             yield out

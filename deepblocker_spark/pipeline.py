@@ -95,8 +95,16 @@ class SparkSIFEmbedding:
     def embed(self, df: DataFrame, text_col: str = MERGED_TEXT) -> DataFrame:
         if self.weights is None:
             raise RuntimeError("preprocess(corpus) must run before embed()")
+        # Tokenize JVM-side in the same scan (codegen'd regexp pipeline,
+        # parity-locked with the Python tokenizer) and hand the token lists
+        # to the embed kernel through Arrow — the pandas worker does numpy
+        # only, no per-row regex. Bit-identical embeddings either way.
+        from deepblocker_spark.functions.tokenizer import tokens_col as _tc
+
+        with_toks = df.withColumn("_jvm_toks", _tc(text_col))
         out = E.embed_tuples(
-            df, text_col, self.cfg.emb_dim, self.weights, self.cfg.empty_row_policy
+            with_toks, text_col, self.cfg.emb_dim, self.weights,
+            self.cfg.empty_row_policy, tokens_col="_jvm_toks",
         )
         if self.cfg.remove_pc:
             out = E.remove_principal_component(out, E.EMBEDDING, self.cfg.emb_dim)
