@@ -130,3 +130,36 @@ def test_collect_sif_weights_cap(spark):
     freq = token_frequencies(_texts_df(spark))
     w = collect_sif_weights(sif_weights_df(freq), max_vocab=2)
     assert set(w) == {"apple", "banana"}  # top-2 by frequency
+
+
+def test_embed_tokens_col_bit_identical(spark):
+    """The JVM-tokenized handoff (embed_tuples(tokens_col=...)) must produce
+    bit-identical embeddings to the Python-tokenizing path, including null
+    and empty texts, and must not leak the tokens column into the output."""
+    from pyspark.sql import functions as F
+
+    from deepblocker_spark.functions.tokenizer import tokens_col
+
+    rows = [
+        (1, "apple banana apple pie!"),
+        (2, "  WeIrD   spacing\tand, punct?"),
+        (3, ""),
+        (4, None),
+        (5, "the quick brown fox"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "_merged_text"])
+    w = {"apple": 0.3, "banana": 0.7, "the": 0.1}
+    a = embed_tuples(df, "_merged_text", dim=16, weights=w).orderBy("id").collect()
+    b = (
+        embed_tuples(
+            df.withColumn("_toks", tokens_col("_merged_text")),
+            "_merged_text", dim=16, weights=w, tokens_col="_toks",
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [r["id"] for r in a] == [r["id"] for r in b]
+    assert "_toks" not in b[0].asDict()
+    for ra, rb in zip(a, b):
+        assert ra[N_TOKENS] == rb[N_TOKENS]
+        assert list(ra[EMBEDDING]) == list(rb[EMBEDDING])  # bit-exact
