@@ -62,8 +62,9 @@ def signature_buckets(
     band_bits: int = 12,
     seed: int = 1234,
     include_emb: bool = False,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
-    """-> DataFrame(id, band int, bucket long[, emb]): one row per
+    """-> DataFrame(id, band int, bucket long[, emb][, extras]): one row per
     (row, band). bucket = the band's sign bits packed into an int64.
 
     ``include_emb=True`` carries the embedding through the signature pass so
@@ -71,7 +72,11 @@ def signature_buckets(
     vector has to travel to every (band, bucket) group anyway, and emitting
     it here replaces a full shuffle join (sigs x source on id) with zero
     extra stages. The bucket-size pass uses the bare variant (no emb), so
-    nothing pays for columns it doesn't read."""
+    nothing pays for columns it doesn't read. ``extra_cols`` passes
+    additional source columns through unchanged (replicated per band) —
+    used by the streaming path to keep the event-time column for
+    watermarking."""
+    extra_cols = extra_cols or []
     fields = [
         StructField(id_col, df.select(id_col).schema.fields[0].dataType, True),
         StructField("band", IntegerType(), False),
@@ -79,6 +84,8 @@ def signature_buckets(
     ]
     if include_emb:
         fields.append(StructField("_emb", df.schema[emb_col].dataType, True))
+    for c in extra_cols:
+        fields.append(StructField(c, df.schema[c].dataType, True))
     out_schema = StructType(fields)
     params = (dim, n_bands, band_bits, seed)
 
@@ -109,9 +116,11 @@ def signature_buckets(
             )
             if include_emb:
                 out["_emb"] = list(pdf[emb_col]) * nb
+            for c in extra_cols:
+                out[c] = list(pdf[c]) * nb
             yield out
 
-    return df.select(id_col, emb_col).mapInPandas(run, out_schema)
+    return df.select(id_col, emb_col, *extra_cols).mapInPandas(run, out_schema)
 
 
 def bucket_stats(buckets: DataFrame) -> DataFrame:

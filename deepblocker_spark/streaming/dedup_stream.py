@@ -312,3 +312,56 @@ def streaming_minhash_neardup(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def streaming_block_against_index(
+    stream: DataFrame,
+    index: DataFrame,
+    id_col: str = "id",
+    emb_col: str = "embedding",
+    ts_col: str = "ts",
+    dim: int = 300,
+    n_bands: int = 8,
+    band_bits: int = 12,
+    seed: int = 1234,
+    min_sim: float = 0.6,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Incremental blocking: records arriving on a stream are LSH-signatured
+    with the SAME seeded hyperplanes as a static indexed corpus (the planes
+    derive from the seed, so both sides' bucket keys are comparable without
+    shipping anything) and STREAM-STATIC joined on (band, bucket); joined
+    candidates are exact-cosine scored JVM-side and pairs >= ``min_sim``
+    emitted as (l_id = stream record, r_id = index record, sim, ts), with
+    the same pair found in multiple bands deduped within the watermark
+    horizon. This is the continuous-ingest form of the batch dyadic LSH
+    join: per-microbatch cost is bounded by the new records' bucket
+    membership — the corpus is never rescanned.
+
+    ``index`` should be the persisted/checkpointed signature frame's SOURCE
+    (id + embedding); its signatures are computed once here and Spark
+    reuses the static side across microbatches.
+    """
+    from deepblocker_spark.operators.lsh import signature_buckets
+    from deepblocker_spark.operators.scoring import cosine_col
+
+    s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    s_sigs = signature_buckets(
+        s, id_col=id_col, emb_col=emb_col, dim=dim, n_bands=n_bands,
+        band_bits=band_bits, seed=seed, include_emb=True,
+        extra_cols=[ts_col],
+    ).withColumnsRenamed({id_col: "l_id", "_emb": "_l_emb"})
+    i_sigs = signature_buckets(
+        index, id_col=id_col, emb_col=emb_col, dim=dim, n_bands=n_bands,
+        band_bits=band_bits, seed=seed, include_emb=True,
+    ).withColumnsRenamed({id_col: "r_id", "_emb": "_r_emb"})
+    joined = s_sigs.join(i_sigs, ["band", "bucket"])
+    scored = (
+        joined.filter(F.col("l_id") != F.col("r_id"))
+        .withColumn("sim", cosine_col(F.col("_l_emb"), F.col("_r_emb")))
+        .filter(F.col("sim") >= min_sim)
+        .select("l_id", "r_id", F.col("sim").cast("double").alias("sim"), ts_col)
+    )
+    return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["l_id", "r_id"]
+    )

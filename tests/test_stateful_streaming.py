@@ -149,3 +149,56 @@ def test_streaming_batch_minhash_parity(spark, tmp_path):
     # banding candidate the batch verify rejected — none of the singletons
     for a, b in stream_pairs:
         assert abs(int(a) - int(b)) < 10, (a, b)
+
+
+def test_streaming_block_against_index(spark, tmp_path):
+    """Incremental blocking (stream-static LSH join): a streamed record
+    identical to an indexed vector shares every band bucket and must emit a
+    pair at sim 1.0; a streamed record orthogonal-ish to the corpus must
+    emit nothing. The same pair found in several bands is deduped."""
+    import datetime as dt
+
+    import numpy as np
+
+    from deepblocker_spark.streaming.dedup_stream import (
+        streaming_block_against_index,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    corpus = rng.standard_normal((20, dim)).astype("float32")
+    index = spark.createDataFrame(
+        [(int(i), corpus[i].tolist()) for i in range(20)],
+        ["id", "embedding"],
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    new_rows = [
+        (100, corpus[3].tolist(), t0),                      # exact dup of id 3
+        (101, (-corpus[7]).tolist(), t0),                   # anti-parallel: sim -1
+        (102, (corpus[5] + 0.01 * rng.standard_normal(dim).astype("float32")).tolist(), t0),
+    ]
+    src = spark.createDataFrame(new_rows, ["id", "embedding", "ts"])
+    in_path = str(tmp_path / "blk_in")
+    src.coalesce(1).write.parquet(in_path)
+    stream = spark.readStream.schema(src.schema).parquet(in_path)
+    out = streaming_block_against_index(
+        stream, index, dim=dim, n_bands=8, band_bits=4, min_sim=0.9,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("blk")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_blk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from blk").toPandas()
+    pairs = {(r["l_id"], r["r_id"]) for _, r in got.iterrows()}
+    assert (100, 3) in pairs                      # exact dup found
+    assert (102, 5) in pairs                      # near dup found (sim ~0.999)
+    assert not any(l == 101 for l, _ in pairs)    # anti-parallel filtered
+    # multi-band duplicates of the same pair are deduped
+    assert len(got) == len(pairs)
+    sims = {(r["l_id"], r["r_id"]): r["sim"] for _, r in got.iterrows()}
+    assert abs(sims[(100, 3)] - 1.0) < 1e-9
