@@ -238,6 +238,16 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select("id", "component")
 
 
+def q_key_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classic attribute blocking (north_rule: "labeled pairs at the same
+    # blocking key"): intra-block pairs under (lang, source) equality with
+    # the block size attached — co-partitioned self-join, full value oracle.
+    from deepblocker_spark.operators.dedup import key_blocking_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return key_blocking_pairs(docs, ["lang", "source"], id_col="doc_id")
+
+
 def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivorship: after transitive clustering, pick the golden record per
     # component (longest text wins, id tie-break) with cluster size — the
@@ -610,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": q_emb_neardup,
         "knn_recall": q_knn_recall,
         "cc_components": q_cc_components,
+        "key_blocking": q_key_blocking,
         "cluster_canonical": q_cluster_canonical,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
@@ -880,6 +891,17 @@ with recursive pairs as (
 select id, min(r) as component from reach group by id
 """
 
+    key_blocking_sql = """
+select l.doc_id as a, r.doc_id as b, l.lang, l.source, s.block_size
+from documents l
+join documents r on l.lang = r.lang and l.source = r.source
+join (
+  select lang, source, count(*)::BIGINT as block_size
+  from documents group by lang, source
+) s on l.lang = s.lang and l.source = s.source
+where l.doc_id < r.doc_id
+"""
+
     canonical_sql = f"""
 select component, id as canonical_id, n_members, n_chars
 from (
@@ -936,6 +958,7 @@ select doc_id, {_minhash_cols_sql(8)} from t
         "emb_neardup": neardup_sql,
         "knn_recall": knn_recall_sql,
         "cc_components": cc_sql,
+        "key_blocking": key_blocking_sql,
         "cluster_canonical": canonical_sql,
         "golden_etl": """
 select o_custkey as ltable_id, o_orderkey as rtable_id

@@ -129,3 +129,24 @@ def test_ngram_stop_shingles_bound_join_keep_true_pairs(spark):
     assert (100, 101) in got
     # boilerplate-only co-occurrence must NOT produce pairs
     assert all(a >= 100 for a, b in got), got
+
+
+def test_key_blocking_pairs_and_purge(spark):
+    """Attribute blocking: intra-block pairs only, a<b, block size attached;
+    max_block_rows purges oversized blocks entirely (the quadratic guard)."""
+    from deepblocker_spark.operators.dedup import key_blocking_pairs
+
+    rows = [
+        (1, "en", "s1"), (2, "en", "s1"), (3, "en", "s1"),
+        (4, "de", "s1"), (5, "de", "s1"),
+        (6, "fr", "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+    out = key_blocking_pairs(df, ["lang", "source"], id_col="doc_id")
+    got = {(r["a"], r["b"]): r["block_size"] for r in out.collect()}
+    assert got == {(1, 2): 3, (1, 3): 3, (2, 3): 3, (4, 5): 2}
+    purged = key_blocking_pairs(
+        df, ["lang", "source"], id_col="doc_id", max_block_rows=2
+    )
+    got2 = {(r["a"], r["b"]) for r in purged.collect()}
+    assert got2 == {(4, 5)}  # the size-3 'en' block is purged, not truncated
