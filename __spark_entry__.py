@@ -743,8 +743,11 @@ where inter::DOUBLE / (na + nb - inter) >= 0.9
 with pairs as ({minhash_pairs_sql})
 select p.a, p.b,
        round(jaro_winkler_similarity(substr(da.text, 1, 64), substr(db.text, 1, 64)), 6) as jw,
-       round(1.0 - levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64))::DOUBLE
-                   / greatest(len(substr(da.text, 1, 64)), len(substr(db.text, 1, 64))), 6) as lev_ratio
+       round(case when greatest(len(substr(da.text, 1, 64)), len(substr(db.text, 1, 64))) = 0
+                  then 1.0
+                  else 1.0 - levenshtein(substr(da.text, 1, 64), substr(db.text, 1, 64))::DOUBLE
+                             / greatest(len(substr(da.text, 1, 64)), len(substr(db.text, 1, 64)))
+             end, 6) as lev_ratio
 from pairs p
 join documents da on p.a = da.doc_id
 join documents db on p.b = db.doc_id

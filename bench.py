@@ -1,12 +1,21 @@
 """Benchmark harness (driver-run per round; BASELINE.md scaling protocol).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE COMPACT
+JSON line to stdout:
 
   {"metric": "suite_seconds", "value": N, "unit": "sec",
    "queries": {...per-query seconds...}, "sf": ...,
+   "shuffle_bytes": {...per-query write/read/input totals...},
+   "lsh_dyadic": {...240k x 240k-half dyadic LSH scale number...},
    "scaling": {"rows": R, "local2_rows_per_sec": ..., "local8_rows_per_sec": ...,
                "speedup": ..., "efficiency": ...}}
+
+The FULL result — including the per-stage shuffle detail arrays for
+SHUFFLE_DETAIL_QUERIES — is written to BENCH.json next to this file
+(VERDICT r3 #1: round 3's stdout line grew past the driver's tail-capture
+window and the recorded artifact lost everything; stdout now stays compact
+and the file carries the detail).
 
 The scaling section evidences the north_rule's N-vs-4N-executor criterion in
 this sandbox: the same self-blocking job (synthetic repo-file table ->
@@ -586,6 +595,70 @@ def _measure_scaling() -> dict:
     return result
 
 
+def _dyadic_bench(spark) -> dict:
+    """Dyadic (left-vs-right) LSH scale number (VERDICT r3 #7): the
+    reference's primary call shape is two-table blocking
+    (/root/reference/deep_blocker.py:48-74), but the suite's ANN timings are
+    self-join only. Here a deterministic clustered embedding table —
+    generated DISTRIBUTED (seeded per-row RNG inside mapInPandas, nothing
+    shipped from the driver) — is split into two halves and pushed through
+    ``lsh_candidates_dyadic`` at the same row scale as the scaling artifact.
+    Returns seconds + pair count + shuffle totals."""
+    import numpy as np
+    import pandas as pd
+
+    from deepblocker_spark.operators.lsh import lsh_candidates_dyadic
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    rows = int(os.environ.get("SPARK_GRAFT_DYADIC_ROWS", "240000"))
+    dim, n_clusters = 64, max(rows // 3, 1)
+    schema = StructType([
+        StructField("id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), False),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = np.empty((len(ids), dim), dtype=np.float32)
+            for j, i in enumerate(ids):
+                c = int(i) % n_clusters
+                center = np.random.Generator(np.random.PCG64(c)).standard_normal(dim)
+                noise = np.random.Generator(np.random.PCG64(10**9 + int(i)))
+                out[j] = center + 0.05 * noise.standard_normal(dim)
+            yield pd.DataFrame({"id": ids, "embedding": list(out)})
+
+    emb = (
+        spark.range(rows).repartition(int(CPUS) * 2)
+        .mapInPandas(gen, schema)
+        .persist()
+    )
+    emb.count()  # materialize generation outside the timed window
+    left = emb.filter(F.col("id") % 2 == 0)
+    right = emb.filter(F.col("id") % 2 == 1)
+    marker = _max_stage_id(spark)
+    t0 = time.perf_counter()
+    n_pairs = lsh_candidates_dyadic(
+        left, right, l_id="id", r_id="id", emb_col="embedding", dim=dim,
+        k=10, n_bands=8, band_bits=12, seed=1234,
+    ).count()
+    dt = round(time.perf_counter() - t0, 3)
+    out = {"rows_per_side": rows // 2, "seconds": dt, "pairs": n_pairs}
+    try:
+        out["shuffle"] = _shuffle_since(spark, marker, detail=True)
+    except Exception as e:
+        out["shuffle_error"] = str(e)[:120]
+    _release_ann_caches()
+    emb.unpersist()
+    print(f"# lsh_dyadic {rows // 2}x{rows // 2}: {dt}s ({n_pairs} pairs)",
+          file=sys.stderr)
+    return out
+
+
 def _scoring_microbench(n: int = 100_000) -> dict:
     """score_candidates' string-similarity knob on >=100k pairs (VERDICT r2
     #4 done-criterion): the vectorized numpy Jaro-Winkler batch kernel (the
@@ -671,6 +744,12 @@ def main():
     )
     try:
         timings, shuffle_bytes = _run_queries(spark)
+        dyadic = None
+        if os.environ.get("SPARK_GRAFT_SKIP_DYADIC") != "1":
+            try:
+                dyadic = _dyadic_bench(spark)
+            except Exception as e:
+                dyadic = {"error": str(e)[:200]}
     finally:
         spark.stop()
 
@@ -683,6 +762,8 @@ def main():
         "wall_seconds": round(time.perf_counter() - t_suite0, 3),
         "shuffle_bytes": shuffle_bytes,
     }
+    if dyadic is not None:
+        out["lsh_dyadic"] = dyadic
     try:
         out["single_node_flagship_seconds"] = _single_node_flagship()
     except Exception as e:  # baseline is informational; never fail the bench
@@ -693,7 +774,22 @@ def main():
         out["scoring_jw_error"] = str(e)[:200]
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         out["scaling"] = _measure_scaling()
-    print(json.dumps(out))
+
+    # FULL artifact (per-stage shuffle detail included) -> BENCH.json; the
+    # stdout line stays compact so the driver's tail capture always parses
+    # (VERDICT r3 #1 — round 3's detail arrays blew the one-line budget).
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH.json")
+    with open(bench_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"# full artifact -> {bench_path}", file=sys.stderr)
+
+    def compact(obj):
+        if isinstance(obj, dict):
+            return {k: compact(v) for k, v in obj.items() if k != "stages"}
+        return obj
+
+    print(json.dumps(compact(out)))
 
 
 if __name__ == "__main__":

@@ -141,14 +141,16 @@ def collect_sif_weights(
 # ---------------------------------------------------------------------------
 
 def _embed_batch(
-    texts: pd.Series,
+    texts: pd.Series | None,
     dim: int,
     weights: dict[str, float] | None,
     empty_row_policy: str,
     tok_lists: list | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized batch embedding: flat token lookup + segment mean.
-    Returns (n x dim float32 matrix, token counts)."""
+    Returns (n x dim float32 matrix, token counts). ``texts`` is ignored
+    (and may be None) when ``tok_lists`` supplies pre-tokenized rows —
+    the JVM-tokenized path passes tokens only."""
     # Allocation-lean by design: this sandbox (and many hardened container
     # kernels) makes first-touch page faults on fresh large mmaps extremely
     # slow, while freed same-size blocks are reused cheaply. Everything here

@@ -84,6 +84,49 @@ def group_slices(pdf: pd.DataFrame, key_cols: list[str]):
         yield int(a), int(b)
 
 
+def _dedup_topk(
+    pdf: pd.DataFrame, k: int, key: str, other: str, sim: str, with_rank: bool
+) -> pd.DataFrame:
+    """Shared reduction for topk_per_key's combiner and merge kernels: dedup
+    (key, other) keeping MAX sim, then top-k per key by (sim desc, other
+    asc). Fully vectorized: one lexsort for dedup, one for ranking, no
+    per-group Python loop."""
+    l = pdf[key].to_numpy()
+    r = pdf[other].to_numpy()
+    s = pdf[sim].to_numpy()
+    # factorize string ids to int codes: np.unique returns lexically
+    # sorted uniques, so code order == string order and every sort /
+    # comparison below runs on ints instead of Python string objects
+    l_uniq = r_uniq = None
+    if l.dtype == object:
+        l_uniq, l = np.unique(l, return_inverse=True)
+    if r.dtype == object:
+        r_uniq, r = np.unique(r, return_inverse=True)
+    # dedup (key, other) pairs (same pair found in >1 bucket), keeping
+    # the MAX sim deterministically — sims of a duplicated pair are
+    # normally identical (same vectors), but floating context can
+    # differ, and keep-max is the defensible contract
+    order = np.lexsort((-s, r, l))
+    l, r, s = l[order], r[order], s[order]
+    keep = np.ones(len(l), dtype=bool)
+    keep[1:] = (l[1:] != l[:-1]) | (r[1:] != r[:-1])
+    l, r, s = l[keep], r[keep], s[keep]
+    # rank by (key asc, sim desc, other asc); cumcount via group starts
+    order = np.lexsort((r, -s, l))
+    l, r, s = l[order], r[order], s[order]
+    new_grp = np.concatenate([[True], l[1:] != l[:-1]])
+    starts = np.nonzero(new_grp)[0]
+    sizes = np.diff(np.concatenate([starts, [len(l)]]))
+    rank = np.arange(len(l)) - np.repeat(starts, sizes) + 1
+    m = rank <= k
+    l_out = l_uniq[l[m]] if l_uniq is not None else l[m]
+    r_out = r_uniq[r[m]] if r_uniq is not None else r[m]
+    out = {key: l_out, other: r_out, sim: s[m]}
+    if with_rank:
+        out["rank"] = rank[m].astype(np.int32)
+    return pd.DataFrame(out)
+
+
 def topk_per_key(
     pairs: DataFrame,
     k: int,
@@ -91,52 +134,69 @@ def topk_per_key(
     other: str = "r_id",
     sim: str = "sim",
     num_partitions: int | None = None,
+    pre_combine: bool = True,
+    combine_buffer_rows: int = 2_000_000,
 ) -> DataFrame:
     """Dedup (key, other) pairs and keep the top-k per key by (sim desc,
     other asc), attaching rank — the fused, single-shuffle replacement for
     ``dropDuplicates([key, other])`` + window row_number (two shuffles).
-    Fully vectorized: one lexsort for dedup, one for ranking, no per-group
-    Python loop."""
+
+    ``pre_combine`` (VERDICT r3 #3, the map-side combiner analogue): before
+    the merge shuffle on ``key``, a NARROW mapInPandas pass reduces each
+    producing partition's pairs to its local per-key top-k (same dedup +
+    ordering as the merge kernel, rank withheld). This is exactly Spark's
+    map-side partial aggregation shape: the exchange then carries at most
+    one local top-k per (key, producing-partition) instead of every
+    surviving bucket pair (~n_bands x k rows per key on the LSH path). It
+    never changes the result: a pair cut by a local top-k is dominated by
+    >= k distinct pairs from the same partition that all reach the merge,
+    so it could not be in the global top-k (duplicate copies of a pair
+    carry bit-identical sims — same two normalized vectors — so keep-max
+    dedup is unaffected by which copy survives). The combiner buffers at
+    most ``combine_buffer_rows`` before compacting, bounding worker memory
+    independent of partition size."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    narrow = pairs.select(key, other, sim)
     out_schema = StructType(
-        list(pairs.select(key, other, sim).schema.fields)
-        + [StructField("rank", IntegerType(), False)]
+        list(narrow.schema.fields) + [StructField("rank", IntegerType(), False)]
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        l = pdf[key].to_numpy()
-        r = pdf[other].to_numpy()
-        s = pdf[sim].to_numpy()
-        # factorize string ids to int codes: np.unique returns lexically
-        # sorted uniques, so code order == string order and every sort /
-        # comparison below runs on ints instead of Python string objects
-        l_uniq = r_uniq = None
-        if l.dtype == object:
-            l_uniq, l = np.unique(l, return_inverse=True)
-        if r.dtype == object:
-            r_uniq, r = np.unique(r, return_inverse=True)
-        # dedup (key, other) pairs (same pair found in >1 bucket), keeping
-        # the MAX sim deterministically — sims of a duplicated pair are
-        # normally identical (same vectors), but floating context can
-        # differ, and keep-max is the defensible contract
-        order = np.lexsort((-s, r, l))
-        l, r, s = l[order], r[order], s[order]
-        keep = np.ones(len(l), dtype=bool)
-        keep[1:] = (l[1:] != l[:-1]) | (r[1:] != r[:-1])
-        l, r, s = l[keep], r[keep], s[keep]
-        # rank by (key asc, sim desc, other asc); cumcount via group starts
-        order = np.lexsort((r, -s, l))
-        l, r, s = l[order], r[order], s[order]
-        new_grp = np.concatenate([[True], l[1:] != l[:-1]])
-        starts = np.nonzero(new_grp)[0]
-        sizes = np.diff(np.concatenate([starts, [len(l)]]))
-        rank = np.arange(len(l)) - np.repeat(starts, sizes) + 1
-        m = rank <= k
-        l_out = l_uniq[l[m]] if l_uniq is not None else l[m]
-        r_out = r_uniq[r[m]] if r_uniq is not None else r[m]
-        return pd.DataFrame(
-            {key: l_out, other: r_out, sim: s[m], "rank": rank[m].astype(np.int32)}
-        )
+    if pre_combine:
+        in_schema = narrow.schema
 
-    return grouped_map_in_pandas(pairs, [key], kernel, out_schema, num_partitions)
+        def combiner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            buf: list[pd.DataFrame] = []
+            nrows, compacted = 0, False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                buf.append(pdf)
+                nrows += len(pdf)
+                compacted = False
+                if nrows >= combine_buffer_rows:
+                    buf = [
+                        _dedup_topk(
+                            pd.concat(buf, ignore_index=True), k, key, other,
+                            sim, with_rank=False,
+                        )
+                    ]
+                    nrows, compacted = len(buf[0]), True
+            if buf:
+                out = (
+                    buf[0]
+                    if compacted and len(buf) == 1
+                    else _dedup_topk(
+                        pd.concat(buf, ignore_index=True), k, key, other, sim,
+                        with_rank=False,
+                    )
+                )
+                if len(out):
+                    yield out
+
+        narrow = narrow.mapInPandas(combiner, in_schema)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _dedup_topk(pdf, k, key, other, sim, with_rank=True)
+
+    return grouped_map_in_pandas(narrow, [key], kernel, out_schema, num_partitions)

@@ -111,7 +111,12 @@ class SparkSIFEmbedding:
         return out
 
 
-def _sample_texts(corpus: DataFrame, cap: int, text_col: str = MERGED_TEXT) -> list[str]:
+def _sample_texts(
+    corpus: DataFrame,
+    cap: int,
+    text_col: str = MERGED_TEXT,
+    rows_hint: int | None = None,
+) -> list[str]:
     """Deterministic bounded sample for driver-side training, content-
     defined (xxhash64 of the text) so it is partition-order-independent.
 
@@ -119,8 +124,17 @@ def _sample_texts(corpus: DataFrame, cap: int, text_col: str = MERGED_TEXT) -> l
     every merged-text row to pick 50k training rows (VERDICT r1 #4). Here a
     hash filter keeps ~2*cap survivors at pure scan cost, and only that
     small survivor set is ordered (by hash, then text for duplicate-text
-    ties) to pick exactly ``cap`` — the corpus itself is never sorted."""
-    n = corpus.select(text_col).count()
+    ties) to pick exactly ``cap`` — the corpus itself is never sorted.
+
+    ``rows_hint`` (VERDICT r3 #6): an approximate corpus row count — e.g.
+    from a checkpoint manifest's recorded rows, or ``spark.read`` metadata —
+    sizes the hash-filter modulus WITHOUT the up-front count scan; at 100 TB
+    that count is a full extra pass over the corpus just to pick a modulus.
+    The hint only shifts how many survivors the filter keeps (~2*cap), never
+    which rows win (hash order decides), so any hint within ~2x of the truth
+    yields the same sample cost profile; the exact sample changes only as it
+    would under any modulus change."""
+    n = rows_hint if rows_hint is not None else corpus.select(text_col).count()
     if n == 0:
         return []
     p = max(1, n // max(1, 2 * cap))
@@ -143,10 +157,15 @@ class SparkAutoEncoderEmbedding:
         self.sif = SparkSIFEmbedding(config)
         self.model: enc.NumpyAutoEncoder | None = None
 
-    def preprocess(self, corpus: DataFrame, text_col: str = MERGED_TEXT) -> None:
+    def preprocess(
+        self,
+        corpus: DataFrame,
+        text_col: str = MERGED_TEXT,
+        rows_hint: int | None = None,
+    ) -> None:
         cfg = self.cfg
         self.sif.preprocess(corpus, text_col)
-        texts = _sample_texts(corpus, cfg.train_sample_rows, text_col)
+        texts = _sample_texts(corpus, cfg.train_sample_rows, text_col, rows_hint)
         x = sif_embed_matrix(texts, cfg.emb_dim, self.sif.weights, cfg.remove_pc)
         self.model = enc.NumpyAutoEncoder(
             cfg.emb_dim, (2 * cfg.ae_emb_dim, cfg.ae_emb_dim), seed=cfg.random_seed
@@ -173,10 +192,15 @@ class SparkCTTEmbedding:
         self.sif = SparkSIFEmbedding(config)
         self.model: enc.NumpyCTTModel | None = None
 
-    def preprocess(self, corpus: DataFrame, text_col: str = MERGED_TEXT) -> None:
+    def preprocess(
+        self,
+        corpus: DataFrame,
+        text_col: str = MERGED_TEXT,
+        rows_hint: int | None = None,
+    ) -> None:
         cfg = self.cfg
         self.sif.preprocess(corpus, text_col)
-        texts = _sample_texts(corpus, cfg.train_sample_rows, text_col)
+        texts = _sample_texts(corpus, cfg.train_sample_rows, text_col, rows_hint)
         lt, rt, y = enc.generate_synthetic_training_data(
             texts,
             cfg.synth_tuples_per_tuple,
@@ -210,10 +234,15 @@ class SparkHybridEmbedding:
         self.ae = SparkAutoEncoderEmbedding(config)
         self.model: enc.NumpyCTTModel | None = None
 
-    def preprocess(self, corpus: DataFrame, text_col: str = MERGED_TEXT) -> None:
+    def preprocess(
+        self,
+        corpus: DataFrame,
+        text_col: str = MERGED_TEXT,
+        rows_hint: int | None = None,
+    ) -> None:
         cfg = self.cfg
-        self.ae.preprocess(corpus, text_col)
-        texts = _sample_texts(corpus, cfg.train_sample_rows, text_col)
+        self.ae.preprocess(corpus, text_col, rows_hint)
+        texts = _sample_texts(corpus, cfg.train_sample_rows, text_col, rows_hint)
         lt, rt, y = enc.generate_synthetic_training_data(
             texts,
             cfg.synth_tuples_per_tuple,

@@ -338,11 +338,17 @@ def streaming_block_against_index(
     join: per-microbatch cost is bounded by the new records' bucket
     membership — the corpus is never rescanned.
 
-    ``index`` should be the persisted/checkpointed signature frame's SOURCE
-    (id + embedding); its signatures are computed once here and Spark
-    reuses the static side across microbatches.
+    ``index`` is the static corpus (id + embedding). A stream-static join
+    re-evaluates the static side's PLAN every microbatch, so the index
+    signature frame is ``.persist()``-ed here (ADVICE r3): the signature
+    mapInPandas pass over the corpus runs once on the first microbatch and
+    later batches read the cached buckets — without the persist, every
+    batch would redo the full corpus scan + hyperplane matmul. The cache
+    lives for the streaming query's lifetime; callers that tear the query
+    down can ``.unpersist()`` via ``release_signature_caches()`` (the frame
+    is registered in the same cache registry the batch LSH operators use).
     """
-    from deepblocker_spark.operators.lsh import signature_buckets
+    from deepblocker_spark.operators.lsh import _SIG_CACHES, signature_buckets
     from deepblocker_spark.operators.scoring import cosine_col
 
     s = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -354,7 +360,8 @@ def streaming_block_against_index(
     i_sigs = signature_buckets(
         index, id_col=id_col, emb_col=emb_col, dim=dim, n_bands=n_bands,
         band_bits=band_bits, seed=seed, include_emb=True,
-    ).withColumnsRenamed({id_col: "r_id", "_emb": "_r_emb"})
+    ).withColumnsRenamed({id_col: "r_id", "_emb": "_r_emb"}).persist()
+    _SIG_CACHES.append(i_sigs)
     joined = s_sigs.join(i_sigs, ["band", "bucket"])
     scored = (
         joined.filter(F.col("l_id") != F.col("r_id"))

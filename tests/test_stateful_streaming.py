@@ -202,3 +202,76 @@ def test_streaming_block_against_index(spark, tmp_path):
     assert len(got) == len(pairs)
     sims = {(r["l_id"], r["r_id"]): r["sim"] for _, r in got.iterrows()}
     assert abs(sims[(100, 3)] - 1.0) < 1e-9
+
+
+def test_streaming_block_against_index_restart_dedup_state(spark, tmp_path):
+    """VERDICT r3 #5 — checkpoint-restart survival for incremental blocking:
+    the watermarked pair-dedup state (`dropDuplicatesWithinWatermark`) must
+    survive a query restart. Batch 1 emits (100, 3); after a RESTART from the
+    same checkpoint, a re-arrival of the same pair inside the watermark must
+    NOT re-emit, while a genuinely new record must. Parquet sink (memory sink
+    cannot recover from a checkpoint)."""
+    import datetime as dt
+
+    import numpy as np
+
+    from deepblocker_spark.streaming.dedup_stream import (
+        streaming_block_against_index,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    corpus = rng.standard_normal((20, dim)).astype("float32")
+    index = spark.createDataFrame(
+        [(int(i), corpus[i].tolist()) for i in range(20)],
+        ["id", "embedding"],
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    in_path = str(tmp_path / "rblk_in")
+    out_path = str(tmp_path / "rblk_out")
+    ckpt = str(tmp_path / "rblk_ckpt")
+    b1 = spark.createDataFrame(
+        [(100, corpus[3].tolist(), t0)], ["id", "embedding", "ts"]
+    )
+    b1.coalesce(1).write.parquet(in_path)
+
+    def run_query():
+        q = (
+            streaming_block_against_index(
+                spark.readStream.schema(b1.schema).parquet(in_path),
+                index, dim=dim, n_bands=8, band_bits=4, min_sim=0.9,
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_query()
+    got1 = spark.read.parquet(out_path).toPandas()
+    assert set(zip(got1["l_id"], got1["r_id"])) == {(100, 3)}
+    assert len(got1) == 1
+
+    # restart from the SAME checkpoint: the (100, 3) re-arrival is inside the
+    # watermark and must be suppressed by recovered state; 110 is new
+    b2 = spark.createDataFrame(
+        [
+            (100, corpus[3].tolist(), t0 + dt.timedelta(minutes=1)),
+            (
+                110,
+                (corpus[5] + 0.01 * rng.standard_normal(dim).astype("float32")).tolist(),
+                t0 + dt.timedelta(minutes=1),
+            ),
+        ],
+        ["id", "embedding", "ts"],
+    )
+    b2.coalesce(1).write.parquet(in_path, mode="append")
+    run_query()
+    got = spark.read.parquet(out_path).toPandas()
+    pair_counts = got.groupby(["l_id", "r_id"]).size()
+    assert set(pair_counts.index) == {(100, 3), (110, 5)}
+    # the restart boundary did not double-emit: each pair exactly once
+    assert (pair_counts == 1).all(), pair_counts
