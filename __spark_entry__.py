@@ -248,6 +248,17 @@ def q_key_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_blocking_pairs(docs, ["lang", "source"], id_col="doc_id")
 
 
+def q_key_blocking_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the purge audit companion (VERDICT r3 #4): the (key, block_size)
+    # groups a max_block_rows=8 cap would EXCLUDE from pair generation —
+    # the no-silent-caps report a blocking pipeline logs per run. One hash
+    # aggregation on the key; full value oracle.
+    from deepblocker_spark.operators.dedup import purged_blocks
+
+    docs = _t(spark, sf_dir, "documents")
+    return purged_blocks(docs, ["lang", "source"], max_block_rows=8)
+
+
 def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivorship: after transitive clustering, pick the golden record per
     # component (longest text wins, id tie-break) with cluster size — the
@@ -621,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_recall": q_knn_recall,
         "cc_components": q_cc_components,
         "key_blocking": q_key_blocking,
+        "key_blocking_purged": q_key_blocking_purged,
         "cluster_canonical": q_cluster_canonical,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
@@ -962,6 +974,10 @@ select doc_id, {_minhash_cols_sql(8)} from t
         "knn_recall": knn_recall_sql,
         "cc_components": cc_sql,
         "key_blocking": key_blocking_sql,
+        "key_blocking_purged": """
+select lang, source, count(*)::BIGINT as block_size
+from documents group by lang, source having count(*) > 8
+""",
         "cluster_canonical": canonical_sql,
         "golden_etl": """
 select o_custkey as ltable_id, o_orderkey as rtable_id

@@ -154,7 +154,16 @@ def topk_per_key(
     carry bit-identical sims — same two normalized vectors — so keep-max
     dedup is unaffected by which copy survives). The combiner buffers at
     most ``combine_buffer_rows`` before compacting, bounding worker memory
-    independent of partition size."""
+    independent of partition size.
+
+    The merge itself needs NO sort exchange: after repartition(key) every
+    key's rows are complete within one partition, and ``_dedup_topk``
+    lexsorts internally — so the merge is a bare hash exchange + one
+    partition-wide reduce, with no JVM Tungsten sortWithinPartitions
+    (previously the exchange's ~n_bands x k rows per key were fully sorted
+    JVM-side only to be lexsorted AGAIN in Python). The reduce is
+    associative (top-k of unioned top-ks = global top-k once all of a
+    key's rows are present), so the same compaction bound applies."""
     from pyspark.sql.types import IntegerType, StructField, StructType
 
     narrow = pairs.select(key, other, sim)
@@ -162,10 +171,8 @@ def topk_per_key(
         list(narrow.schema.fields) + [StructField("rank", IntegerType(), False)]
     )
 
-    if pre_combine:
-        in_schema = narrow.schema
-
-        def combiner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def make_runner(with_rank: bool):
+        def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             buf: list[pd.DataFrame] = []
             nrows, compacted = 0, False
             for pdf in batches:
@@ -185,18 +192,22 @@ def topk_per_key(
             if buf:
                 out = (
                     buf[0]
-                    if compacted and len(buf) == 1
+                    if compacted and len(buf) == 1 and not with_rank
                     else _dedup_topk(
                         pd.concat(buf, ignore_index=True), k, key, other, sim,
-                        with_rank=False,
+                        with_rank=with_rank,
                     )
                 )
                 if len(out):
                     yield out
 
-        narrow = narrow.mapInPandas(combiner, in_schema)
+        return runner
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _dedup_topk(pdf, k, key, other, sim, with_rank=True)
-
-    return grouped_map_in_pandas(narrow, [key], kernel, out_schema, num_partitions)
+    if pre_combine:
+        narrow = narrow.mapInPandas(make_runner(False), narrow.schema)
+    part = (
+        narrow.repartition(key)
+        if num_partitions is None
+        else narrow.repartition(num_partitions, key)
+    )
+    return part.mapInPandas(make_runner(True), out_schema)
