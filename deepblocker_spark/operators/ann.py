@@ -212,6 +212,7 @@ def _ivf_pairs(
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
     from deepblocker_spark.operators.grouped import (
+        _dedup_topk,
         group_slices,
         grouped_map_in_pandas,
         topk_per_key,
@@ -307,12 +308,16 @@ def _ivf_pairs(
             ))
         if not outs:
             return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
-        return pd.concat(outs, ignore_index=True)
+        # fused map-side combiner (see lsh_candidates.buckets_kernel)
+        return _dedup_topk(
+            pd.concat(outs, ignore_index=True),
+            k, "l_id", "r_id", "sim", with_rank=False,
+        )
 
     pairs = grouped_map_in_pandas(
         salted, ["cell", "salt_q", "salt_i"], cell_kernel, pair_schema
     )
-    return topk_per_key(pairs, k)
+    return topk_per_key(pairs, k, pre_combine=False)
 
 
 def ivf_topk(

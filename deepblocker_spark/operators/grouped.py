@@ -36,14 +36,56 @@ def grouped_map_in_pandas(
     kernel,
     out_schema,
     num_partitions: int | None = None,
+    sort_side: str = "python",
 ) -> DataFrame:
+    """``sort_side`` picks where rows are grouped after the hash exchange:
+
+    - ``"python"`` (default): the exchange is a BARE repartition — no JVM
+      ``sortWithinPartitions`` — and the kernel runner buffers its whole
+      partition, orders it with one numpy lexsort on the (int) key columns,
+      and calls the kernel once. Profiling the 240k-row LSH scaling job
+      showed the Tungsten sort dominating the kernel stage's JVM CPU
+      (~150 CPU-s at 8 cores for ~1.9M rows × ~290 B incl. embeddings, and
+      it is exactly this CPU that inflates ~1.7x under 8-core memory-bus
+      contention), while the equivalent numpy lexsort of the same
+      partition's int keys is milliseconds — the JVM was sorting wide rows
+      so Python could slice groups it could have sorted itself. Memory
+      bound: one partition decoded in one worker (~3x the partition's raw
+      bytes); size partitions accordingly (AQE advisory 16m keeps this
+      tens of MB).
+    - ``"jvm"``: previous behavior — Tungsten sorts within partitions and
+      the runner streams Arrow batches, buffering only the trailing
+      partial group. Use when partitions are too large to buffer whole.
+    """
     part = (
         df.repartition(*key_cols)
         if num_partitions is None
         else df.repartition(num_partitions, *key_cols)
     )
-    part = part.sortWithinPartitions(*key_cols)
     keys = list(key_cols)
+    if sort_side == "python":
+
+        def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            chunks = [pdf for pdf in batches if len(pdf)]
+            if not chunks:
+                return
+            pdf = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            del chunks
+            cols = [pdf[k].to_numpy() for k in reversed(keys)]
+            order = np.lexsort(cols)
+            if len(order) and not (np.diff(order) == 1).all():
+                pdf = pdf.take(order).reset_index(drop=True)
+            out = kernel(pdf)
+            if out is not None and len(out):
+                yield out
+
+        return part.mapInPandas(runner, out_schema)
+
+    part = part.sortWithinPartitions(*key_cols)
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: pd.DataFrame | None = None

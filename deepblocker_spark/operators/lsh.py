@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -41,6 +42,7 @@ from pyspark.sql.types import (
 
 from deepblocker_spark.operators.embed import EMBEDDING
 from deepblocker_spark.operators.grouped import (
+    _dedup_topk,
     group_slices,
     grouped_map_in_pandas,
     topk_per_key,
@@ -63,6 +65,7 @@ def signature_buckets(
     seed: int = 1234,
     include_emb: bool = False,
     extra_cols: list[str] | None = None,
+    emb_binary: bool = False,
 ) -> DataFrame:
     """-> DataFrame(id, band int, bucket long[, emb][, extras]): one row per
     (row, band). bucket = the band's sign bits packed into an int64.
@@ -75,7 +78,18 @@ def signature_buckets(
     nothing pays for columns it doesn't read. ``extra_cols`` passes
     additional source columns through unchanged (replicated per band) —
     used by the streaming path to keep the event-time column for
-    watermarking."""
+    watermarking.
+
+    ``emb_binary=True`` packs the carried embedding as one little-endian
+    float32 blob per row instead of ``array<float>``. Profiling the 240k
+    scaling job showed the JVM's row<->Arrow conversion of ~1.9M LIST
+    columns dominating the exchange stages' CPU (and that CPU inflating
+    ~1.7x under 8-core memory-bus contention); a BinaryType column moves as
+    one memcpy per row, the per-band duplication shares the same immutable
+    bytes objects, and the kernel decodes the whole partition with a single
+    ``np.frombuffer`` — bit-identical f32 payload, same shuffle bytes.
+    Only for numpy-kernel consumers (the batch LSH paths); the streaming
+    path keeps arrays for JVM ``cosine_col``."""
     extra_cols = extra_cols or []
     fields = [
         StructField(id_col, df.select(id_col).schema.fields[0].dataType, True),
@@ -83,7 +97,8 @@ def signature_buckets(
         StructField("bucket", LongType(), False),
     ]
     if include_emb:
-        fields.append(StructField("_emb", df.schema[emb_col].dataType, True))
+        emb_type = BinaryType() if emb_binary else df.schema[emb_col].dataType
+        fields.append(StructField("_emb", emb_type, True))
     for c in extra_cols:
         fields.append(StructField(c, df.schema[c].dataType, True))
     out_schema = StructType(fields)
@@ -96,7 +111,8 @@ def signature_buckets(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.nan_to_num(np.stack(pdf[emb_col].to_numpy()).astype(np.float64))
+            x_arr = np.stack(pdf[emb_col].to_numpy())
+            x = np.nan_to_num(x_arr.astype(np.float64))
             bits = (x @ planes.T) > 0  # (n, nb*bb)
             n = len(pdf)
             ids = pdf[id_col].to_numpy()
@@ -115,7 +131,16 @@ def signature_buckets(
                 }
             )
             if include_emb:
-                out["_emb"] = list(pdf[emb_col]) * nb
+                if emb_binary:
+                    # requires f32-representable embeddings (the engine's
+                    # EMBEDDING column is array<float>, so this is lossless)
+                    x32 = x_arr.astype(np.float32, copy=False)
+                    raw = x32.tobytes()
+                    stride = x32.shape[1] * 4
+                    blobs = [raw[i * stride : (i + 1) * stride] for i in range(n)]
+                    out["_emb"] = blobs * nb  # list-repeat shares the bytes
+                else:
+                    out["_emb"] = list(pdf[emb_col]) * nb
             for c in extra_cols:
                 out[c] = list(pdf[c]) * nb
             yield out
@@ -149,11 +174,13 @@ def release_signature_caches() -> None:
         _SIG_CACHES.pop().unpersist()
 
 
-def _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed) -> DataFrame:
+def _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed,
+                    emb_binary: bool = False) -> DataFrame:
     from pyspark import StorageLevel
 
     sigs = signature_buckets(
-        df, id_col, emb_col, dim, n_bands, band_bits, seed, include_emb=True
+        df, id_col, emb_col, dim, n_bands, band_bits, seed, include_emb=True,
+        emb_binary=emb_binary,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _SIG_CACHES.append(sigs)
     return sigs
@@ -211,7 +238,8 @@ def lsh_candidates(
     # relation — never a shuffle join (VERDICT r1 plan-audit note). The
     # embedding rides the signature frame, so there is NO join back to the
     # source table — the only big shuffle is groupBy(band, bucket, salt).
-    sigs = _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed)
+    sigs = _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed,
+                           emb_binary=True)
     over_rows = _oversized_buckets(
         sigs, max_bucket_rows, ["band", "bucket", "_splits"]
     )
@@ -253,9 +281,9 @@ def lsh_candidates(
         # slices per bucket (see grouped.py module doc for why this beats
         # per-group applyInPandas)
         ids_all = pdf[id_col].to_numpy()
-        x_all = normalize_rows(
-            np.nan_to_num(np.stack(pdf["_emb"].to_numpy()).astype(np.float64))
-        )
+        buf = b"".join(pdf["_emb"].to_numpy())
+        x_all = np.frombuffer(buf, dtype=np.float32).reshape(len(pdf), -1)
+        x_all = normalize_rows(np.nan_to_num(x_all.astype(np.float64)))
         out_l, out_r, out_s = [], [], []
         for a, b in group_slices(pdf, ["band", "bucket", "salt"]):
             n = b - a
@@ -277,12 +305,19 @@ def lsh_candidates(
             out_s.append(sims[rows, cols])
         if not out_l:
             return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
-        return pd.DataFrame(
-            {
-                "l_id": np.concatenate(out_l),
-                "r_id": np.concatenate(out_r),
-                "sim": np.concatenate(out_s),
-            }
+        # map-side combiner FUSED into the kernel call (the python-sort
+        # grouped map hands the kernel its whole partition, so this IS the
+        # per-partition local top-k) — the pairs never take an extra
+        # Python<->JVM Arrow round-trip through a chained combiner pass
+        return _dedup_topk(
+            pd.DataFrame(
+                {
+                    "l_id": np.concatenate(out_l),
+                    "r_id": np.concatenate(out_r),
+                    "sim": np.concatenate(out_s),
+                }
+            ),
+            k, "l_id", "r_id", "sim", with_rank=False,
         )
 
     pairs = grouped_map_in_pandas(
@@ -291,8 +326,11 @@ def lsh_candidates(
     if min_sim is not None:
         pairs = pairs.filter(F.col("sim") >= min_sim)
     # fused dedup + per-left top-K: one shuffle instead of the
-    # dropDuplicates exchange + window exchange
-    return topk_per_key(pairs, k, key="l_id", other="r_id", sim="sim")
+    # dropDuplicates exchange + window exchange; combiner already applied
+    # inside the kernel
+    return topk_per_key(
+        pairs, k, key="l_id", other="r_id", sim="sim", pre_combine=False
+    )
 
 
 def lsh_candidates_dyadic(
@@ -331,8 +369,10 @@ def lsh_candidates_dyadic(
     # materializes the cache) and the candidate kernel. The merged oversized
     # list is tiny by construction; when empty (healthy case) both salts are
     # literal 0 and the plan has neither a join nor an explode.
-    l_sigs = _persisted_sigs(left, l_id, emb_col, dim, n_bands, band_bits, seed)
-    r_sigs = _persisted_sigs(right, r_id, emb_col, dim, n_bands, band_bits, seed)
+    l_sigs = _persisted_sigs(left, l_id, emb_col, dim, n_bands, band_bits, seed,
+                             emb_binary=True)
+    r_sigs = _persisted_sigs(right, r_id, emb_col, dim, n_bands, band_bits, seed,
+                             emb_binary=True)
     grid: dict[tuple[int, int], list[int]] = {}
     for row in _oversized_buckets(l_sigs, max_bucket_rows, ["band", "bucket", "_splits"]):
         grid[(row["band"], row["bucket"])] = [row["_splits"], 1]
@@ -393,9 +433,9 @@ def lsh_candidates_dyadic(
 
     def buckets_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids_all = pdf["_id"].to_numpy()
-        x_all = normalize_rows(
-            np.nan_to_num(np.stack(pdf["_emb"].to_numpy()).astype(np.float64))
-        )
+        buf = b"".join(pdf["_emb"].to_numpy())
+        x_all = np.frombuffer(buf, dtype=np.float32).reshape(len(pdf), -1)
+        x_all = normalize_rows(np.nan_to_num(x_all.astype(np.float64)))
         side_all = pdf["_side"].to_numpy()
         out_l, out_r, out_s = [], [], []
         for a, b in group_slices(pdf, ["band", "bucket", "salt_l", "salt_r"]):
@@ -416,12 +456,16 @@ def lsh_candidates_dyadic(
             out_s.append(sims[rows, cols])
         if not out_l:
             return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
-        return pd.DataFrame(
-            {
-                "l_id": np.concatenate(out_l),
-                "r_id": np.concatenate(out_r),
-                "sim": np.concatenate(out_s),
-            }
+        # fused map-side combiner (see lsh_candidates.buckets_kernel)
+        return _dedup_topk(
+            pd.DataFrame(
+                {
+                    "l_id": np.concatenate(out_l),
+                    "r_id": np.concatenate(out_r),
+                    "sim": np.concatenate(out_s),
+                }
+            ),
+            k, "l_id", "r_id", "sim", with_rank=False,
         )
 
     pairs = grouped_map_in_pandas(
@@ -429,7 +473,9 @@ def lsh_candidates_dyadic(
     )
     if min_sim is not None:
         pairs = pairs.filter(F.col("sim") >= min_sim)
-    return topk_per_key(pairs, k, key="l_id", other="r_id", sim="sim")
+    return topk_per_key(
+        pairs, k, key="l_id", other="r_id", sim="sim", pre_combine=False
+    )
 
 
 class LSHVectorPairing:
