@@ -76,6 +76,27 @@ class BlockerConfig:
     def to_dict(self) -> dict:
         return asdict(self)
 
+    def with_planned_lsh(
+        self,
+        sim_target: float,
+        recall_target: float = 0.95,
+        sim_noise: float | None = None,
+        max_noise_prob: float = 0.05,
+    ) -> "BlockerConfig":
+        """Copy of this config with (lsh_n_bands, lsh_band_bits) chosen by
+        the closed-form S-curve planner (functions/lsh_planner.py): the
+        cheapest banding whose collision probability reaches
+        ``recall_target`` for pairs at cosine ``sim_target`` and stays
+        below ``max_noise_prob`` for pairs at ``sim_noise``."""
+        from dataclasses import replace
+
+        from deepblocker_spark.functions.lsh_planner import plan_lsh
+
+        plan = plan_lsh(sim_target, recall_target, sim_noise, max_noise_prob)
+        return replace(
+            self, lsh_n_bands=plan.n_bands, lsh_band_bits=plan.band_bits
+        )
+
 
 DEFAULT_CONFIG = BlockerConfig()
 
