@@ -108,15 +108,19 @@ def main() -> None:
         n_bands=8, band_bits=8, seed=3,
     )
     audits["lsh_candidates"] = (
-        ["!SortMergeJoin", "!BroadcastHashJoin", "InMemoryRelation",
-         "1:InMemoryFileIndex",
+        ["!SortMergeJoin", "!BroadcastHashJoin", "!Sort (",
+         "InMemoryRelation", "1:InMemoryFileIndex",
          "hashpartitioning(band", "hashpartitioning(l_id",
          "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
         "single signature pass: ONE source scan (1:InMemoryFileIndex) into a "
         "persisted frame (InMemoryRelation) consumed by both the bucket-size "
         "agg and the candidate kernel; healthy path (no oversized buckets) "
         "has NO join of any kind; exactly the two required exchanges "
-        "(bucket key, then l_id); scan pruned to (id, embedding)",
+        "(bucket key, then l_id); scan pruned to (id, embedding); NO JVM "
+        "Sort anywhere — the bucket exchange is a bare repartition and the "
+        "kernel runner lexsorts int keys python-side (round 4: the Tungsten "
+        "sort of wide rows was the kernel stage's dominant, "
+        "bus-contended JVM CPU)",
     )
     qs["lsh_candidates"] = lambda *_: lsh_plan_df
 
@@ -132,16 +136,17 @@ def main() -> None:
     )
     audits["ivf_topk"] = (
         ["MapInPandas", "!FlatMapGroupsInPandas", "!SortMergeJoin",
-         "!BroadcastHashJoin", "InMemoryRelation", "1:InMemoryFileIndex",
+         "!BroadcastHashJoin", "!Sort (", "InMemoryRelation",
+         "1:InMemoryFileIndex",
          "hashpartitioning(cell",
          "hashpartitioning(l_id",
          "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
-        "both grouped stages are sort-based grouped maps (one Python call "
-        "per batch of whole groups, not per group); no joins anywhere; ONE "
-        "source scan into a persisted assignment frame consumed by both the "
-        "cell-size agg and the search kernel; exactly the two hash "
-        "exchanges (cell, then l_id) that the algorithm requires; scan "
-        "pruned to (id, embedding)",
+        "both grouped stages are python-sort grouped maps (bare repartition "
+        "+ numpy lexsort of int keys inside the runner — no JVM Sort of "
+        "wide rows, round 4); no joins anywhere; ONE source scan into a "
+        "persisted assignment frame consumed by both the cell-size agg and "
+        "the search kernel; exactly the two hash exchanges (cell, then "
+        "l_id) that the algorithm requires; scan pruned to (id, embedding)",
     )
     qs["ivf_topk"] = lambda *_: ivf_plan_df
 
