@@ -259,6 +259,23 @@ def q_key_blocking_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purged_blocks(docs, ["lang", "source"], max_block_rows=8)
 
 
+def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # meta-blocking (Papadakis TKDE'14 / VLDB'16): schema-agnostic token
+    # blocking -> block filtering (each doc keeps its ceil(0.5*|B_e|)
+    # smallest blocks) -> ECBS comparison weighting -> weighted-edge
+    # pruning (keep weight >= mean). Pure DataFrame ops: two window
+    # shuffles, one co-partitioned self-join on the block key, 1-row
+    # broadcast scalars for the block total and mean. Full value oracle.
+    from deepblocker_spark.operators.metablocking import (
+        meta_blocking_pairs,
+        token_blocks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    blocks = token_blocks(docs, text_col="text", id_col="doc_id")
+    return meta_blocking_pairs(blocks, ratio=0.5, scheme="ECBS", prune="WEP")
+
+
 def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivorship: after transitive clustering, pick the golden record per
     # component (longest text wins, id tie-break) with cluster size — the
@@ -633,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "key_blocking": q_key_blocking,
         "key_blocking_purged": q_key_blocking_purged,
+        "meta_blocking": q_meta_blocking,
         "cluster_canonical": q_cluster_canonical,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
@@ -917,6 +935,49 @@ join (
 where l.doc_id < r.doc_id
 """
 
+    # meta-blocking oracle: identical pipeline in SQL — token blocking
+    # (distinct tokens via the parity-locked tokenizer fragment), block
+    # filtering (row_number over size-asc/key-asc, keep rn <= ceil(0.5*nb)),
+    # ECBS = cbs * ln(total/|B_a|) * ln(total/|B_b|) rounded to 9, WEP with
+    # the same mean - 1e-9 epsilon guard the engine applies (so a
+    # summation-order ulp in the mean cannot flip a boundary pair).
+    meta_blocking_sql = f"""
+with blocks as (
+  select distinct doc_id as id, tok as block_key
+  from (select doc_id, unnest({_TOKS}) as tok from documents)
+),
+sized as (
+  select id, block_key, count(*) over (partition by block_key) as block_size
+  from blocks
+),
+filtered as (
+  select id, block_key from (
+    select id, block_key,
+           row_number() over (partition by id order by block_size asc, block_key asc) as rn,
+           count(*) over (partition by id) as nb
+    from sized
+  ) where rn <= ceil(0.5 * nb)
+),
+ent as (select id, count(*)::BIGINT as nb from filtered group by id),
+tot as (select count(distinct block_key)::DOUBLE as total from filtered),
+co as (
+  select l.id as a, r.id as b, count(*)::BIGINT as cbs
+  from filtered l join filtered r on l.block_key = r.block_key
+  where l.id < r.id
+  group by l.id, r.id
+),
+weighted as (
+  select a, b, cbs,
+         round(cbs * ln(total / ea.nb) * ln(total / eb.nb), 9) as weight
+  from co
+  join ent ea on co.a = ea.id
+  join ent eb on co.b = eb.id
+  cross join tot
+),
+m as (select avg(weight) as meanw from weighted)
+select a, b, cbs, weight from weighted, m where weight >= meanw - 1e-9
+"""
+
     canonical_sql = f"""
 select component, id as canonical_id, n_members, n_chars
 from (
@@ -978,6 +1039,7 @@ select doc_id, {_minhash_cols_sql(8)} from t
 select lang, source, count(*)::BIGINT as block_size
 from documents group by lang, source having count(*) > 8
 """,
+        "meta_blocking": meta_blocking_sql,
         "cluster_canonical": canonical_sql,
         "golden_etl": """
 select o_custkey as ltable_id, o_orderkey as rtable_id

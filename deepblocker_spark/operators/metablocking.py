@@ -1,0 +1,168 @@
+"""Meta-blocking: block filtering + comparison weighting + weighted-edge
+pruning over a block collection (Papadakis et al., "Meta-Blocking: Taking
+Entity Resolution to the Next Level", TKDE 2014; block filtering from
+Papadakis et al., VLDB 2016).
+
+No reference counterpart: qcri/DeepBlocker emits its candidate set straight
+from the vector top-K (/root/reference/blocking_utils.py:8 scores raw
+candidates only). At 100 TB the classic complement is schema-agnostic token
+blocking, whose redundancy meta-blocking turns into a SIGNAL: a pair sharing
+many (rare) blocks is likelier a match than one sharing a single hot block.
+The pipeline here:
+
+  token_blocks        entity x distinct-token block assignments (the
+                      standard schema-agnostic blocker; reuses the engine's
+                      parity-locked tokenizer so the DuckDB oracle can
+                      rebuild the identical collection);
+  block_filtering     keep each entity only in the ceil(ratio * |B_e|)
+                      SMALLEST of its blocks — drops each entity from its
+                      least-informative (hottest) blocks without dropping
+                      any block outright;
+  meta_blocking_pairs co-occurrence pairs weighted by CBS (common-block
+                      count), ECBS (CBS idf-scaled by both entities' block
+                      counts) or JS (Jaccard over block sets), then
+                      weighted-edge pruning (WEP: keep weight >= mean).
+
+Everything is plain DataFrame ops — two hash aggregations, one
+co-partitioned self-join on the block key, two shuffle joins on entity id,
+and 1-row broadcast scalars (block total, mean weight) via crossJoin so no
+driver action sits in the plan. Scale notes:
+
+  * The self-join on block_key is bounded by ``max_block_rows`` (the purge
+    step): blocks bigger than the cap are EXCLUDED from pair generation and
+    listed by :func:`dedup.purged_blocks`-style audit via ``ratio``/cap
+    accounting — never silently. Block filtering additionally shrinks hot
+    blocks before the join (each entity leaves its hottest blocks first).
+  * Weights are rounded to 9 decimals on BOTH engines; the WEP threshold
+    compares against mean - 1e-9 so a summation-order ulp in the mean can
+    never flip a boundary pair between Spark and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from deepblocker_spark.functions.tokenizer import tokens_col
+
+SCHEMES = ("CBS", "ECBS", "JS")
+
+
+def token_blocks(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Schema-agnostic token blocking: one (id, block_key) row per DISTINCT
+    token of the entity's text. JVM tokenize -> array_distinct -> explode;
+    no Python in the path."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col(text_col))).alias("block_key"),
+    )
+
+
+def block_filtering(
+    blocks: DataFrame,
+    ratio: float = 0.5,
+    id_col: str = "id",
+    key_col: str = "block_key",
+) -> DataFrame:
+    """Keep each entity only in the ``ceil(ratio * |B_e|)`` smallest of its
+    blocks (size tie-broken by key, ascending — deterministic). -> (id,
+    block_key, block_size). Two window shuffles (key, then id); no joins.
+
+    ``ratio`` is applied as an IEEE double multiply then ceil — use
+    binary-exact ratios (0.5, 0.75) when cross-engine determinism on the
+    exact kept-count matters (the oracle applies the identical arithmetic).
+    """
+    w_key = Window.partitionBy(key_col)
+    w_ent = Window.partitionBy(id_col).orderBy(
+        F.col("block_size").asc(), F.col(key_col).asc()
+    )
+    w_ent_all = Window.partitionBy(id_col)
+    sized = blocks.select(
+        F.col(id_col).alias("id"),
+        F.col(key_col).alias("block_key"),
+        F.count("*").over(w_key).alias("block_size"),
+    )
+    return (
+        sized.withColumn("_rn", F.row_number().over(w_ent))
+        .withColumn("_nb", F.count("*").over(w_ent_all))
+        .filter(F.col("_rn") <= F.ceil(F.lit(float(ratio)) * F.col("_nb")))
+        .select("id", "block_key", "block_size")
+    )
+
+
+def meta_blocking_pairs(
+    blocks: DataFrame,
+    ratio: float = 0.5,
+    scheme: str = "ECBS",
+    prune: str = "WEP",
+    max_block_rows: int | None = None,
+    id_col: str = "id",
+    key_col: str = "block_key",
+) -> DataFrame:
+    """-> (a, b, cbs, weight): undirected co-occurrence pairs (a < b) of the
+    block-filtered collection, weighted per ``scheme``, pruned per ``prune``
+    ('WEP' keeps weight >= mean - 1e-9; 'none' keeps all).
+
+    ECBS(a,b) = CBS * ln(|B|/|B_a|) * ln(|B|/|B_b|) with |B| the filtered
+    collection's distinct-block count and |B_e| the entity's filtered block
+    count — rare shared blocks count for more. JS(a,b) = CBS /
+    (|B_a| + |B_b| - CBS). Weights rounded to 9 decimals (cross-engine
+    float discipline, see module doc).
+
+    ``max_block_rows`` purges blocks still oversized AFTER filtering from
+    pair generation (bounding the self-join's per-key cross product at
+    scale); like ``dedup.key_blocking_pairs`` the cap is auditable — the
+    excluded groups are exactly ``block_filtering(...).groupBy(key) having
+    count > cap``, recomputable from the same inputs.
+    """
+    if scheme not in SCHEMES:
+        raise ValueError(f"unknown weighting scheme: {scheme!r} (use {SCHEMES})")
+    if prune not in ("WEP", "none"):
+        raise ValueError(f"unknown prune mode: {prune!r} (use 'WEP' or 'none')")
+    filtered = block_filtering(blocks, ratio, id_col, key_col)
+    if max_block_rows is not None:
+        kept_sizes = (
+            filtered.groupBy("block_key")
+            .agg(F.count("*").alias("_fsize"))
+            .filter(F.col("_fsize") <= max_block_rows)
+            .select("block_key")
+        )
+        filtered = filtered.join(kept_sizes, "block_key")
+    ent = filtered.groupBy("id").agg(F.count("*").cast("long").alias("_nb"))
+    total = filtered.agg(
+        F.count_distinct("block_key").cast("double").alias("_total")
+    )
+    l = filtered.select(F.col("id").alias("a"), "block_key")
+    r = filtered.select(F.col("id").alias("b"), "block_key")
+    co = (
+        l.join(r, "block_key")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("cbs"))
+    )
+    pairs = (
+        co.join(ent.select(F.col("id").alias("a"), F.col("_nb").alias("_na")), "a")
+        .join(ent.select(F.col("id").alias("b"), F.col("_nb").alias("_nbb")), "b")
+        .crossJoin(F.broadcast(total))
+    )
+    if scheme == "CBS":
+        weight = F.col("cbs").cast("double")
+    elif scheme == "ECBS":
+        weight = (
+            F.col("cbs")
+            * F.log(F.col("_total") / F.col("_na"))
+            * F.log(F.col("_total") / F.col("_nbb"))
+        )
+    else:  # JS
+        weight = F.col("cbs") / (F.col("_na") + F.col("_nbb") - F.col("cbs"))
+    weighted = pairs.select(
+        "a", "b", "cbs", F.round(weight, 9).alias("weight")
+    )
+    if prune == "none":
+        return weighted
+    mean = weighted.agg(F.avg("weight").alias("_mean"))
+    return weighted.crossJoin(F.broadcast(mean)).filter(
+        F.col("weight") >= F.col("_mean") - F.lit(1e-9)
+    ).select("a", "b", "cbs", "weight")

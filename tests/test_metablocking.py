@@ -1,0 +1,170 @@
+"""Meta-blocking (block filtering + ECBS/CBS/JS weighting + WEP pruning) —
+hand-computed small cases plus cross-checks against an independent pure-
+Python recomputation of the Papadakis formulas."""
+
+from __future__ import annotations
+
+import math
+
+from deepblocker_spark.operators.metablocking import (
+    block_filtering,
+    meta_blocking_pairs,
+    token_blocks,
+)
+
+
+def _blocks_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, block_key string")
+
+
+def test_token_blocks_distinct_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta, gamma!")], "doc_id long, text string"
+    )
+    got = {(r["id"], r["block_key"]) for r in token_blocks(df).collect()}
+    # tokenizer pads punctuation -> ',' and '!' become their own tokens
+    assert got == {
+        (1, "alpha"),
+        (1, "beta"),
+        (2, "beta"),
+        (2, "gamma"),
+        (2, ","),
+        (2, "!"),
+    }
+
+
+def test_block_filtering_keeps_smallest_half(spark):
+    # entity 1 sits in 4 blocks with sizes 3,2,2,1 -> ratio 0.5 keeps
+    # ceil(2.0)=2: the size-1 block and the size-2 block with the smaller key
+    rows = [
+        (1, "hot"), (2, "hot"), (3, "hot"),
+        (1, "wa"), (2, "wa"),
+        (1, "wb"), (3, "wb"),
+        (1, "solo"),
+    ]
+    kept = block_filtering(_blocks_df(spark, rows), ratio=0.5).collect()
+    kept1 = {(r["block_key"], r["block_size"]) for r in kept if r["id"] == 1}
+    assert kept1 == {("solo", 1), ("wa", 2)}
+    # entities 2 and 3 have 2 blocks each -> keep ceil(1.0)=1 smallest
+    assert {(r["id"], r["block_key"]) for r in kept if r["id"] != 1} == {
+        (2, "wa"),
+        (3, "wb"),
+    }
+
+
+def test_block_filtering_ratio_one_keeps_all(spark):
+    rows = [(1, "x"), (1, "y"), (2, "x")]
+    kept = block_filtering(_blocks_df(spark, rows), ratio=1.0).collect()
+    assert len(kept) == 3
+
+
+def _python_meta(rows, ratio, scheme):
+    """Independent recomputation: filtering + weighting, driver-side."""
+    from collections import defaultdict
+
+    sizes = defaultdict(int)
+    for _, k in rows:
+        sizes[k] += 1
+    per_ent = defaultdict(list)
+    for e, k in rows:
+        per_ent[e].append(k)
+    kept = []
+    for e, keys in per_ent.items():
+        keys = sorted(set(keys), key=lambda k: (sizes[k], k))
+        kept.extend((e, k) for k in keys[: math.ceil(ratio * len(keys))])
+    blocks = defaultdict(set)
+    for e, k in kept:
+        blocks[k].add(e)
+    nb = defaultdict(int)
+    for e, _ in kept:
+        nb[e] += 1
+    total = float(len(blocks))
+    cbs = defaultdict(int)
+    for members in blocks.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                cbs[(a, b)] += 1
+    out = {}
+    for (a, b), c in cbs.items():
+        if scheme == "CBS":
+            w = float(c)
+        elif scheme == "ECBS":
+            w = c * math.log(total / nb[a]) * math.log(total / nb[b])
+        else:
+            w = c / (nb[a] + nb[b] - c)
+        out[(a, b)] = (c, round(w, 9))
+    return out
+
+
+EX_ROWS = [
+    (1, "rare"), (2, "rare"),
+    (1, "mid"), (2, "mid"), (3, "mid"),
+    (1, "hot"), (2, "hot"), (3, "hot"), (4, "hot"),
+    (3, "other"), (4, "other"),
+    (4, "solo"),
+]
+
+
+def test_weighting_schemes_match_independent_recomputation(spark):
+    df = _blocks_df(spark, EX_ROWS)
+    for scheme in ("CBS", "ECBS", "JS"):
+        got = {
+            (r["a"], r["b"]): (r["cbs"], r["weight"])
+            for r in meta_blocking_pairs(
+                df, ratio=1.0, scheme=scheme, prune="none"
+            ).collect()
+        }
+        want = _python_meta(EX_ROWS, 1.0, scheme)
+        assert got == want, scheme
+
+
+def test_wep_prunes_below_mean(spark):
+    df = _blocks_df(spark, EX_ROWS)
+    unpruned = _python_meta(EX_ROWS, 1.0, "ECBS")
+    mean = sum(w for _, w in unpruned.values()) / len(unpruned)
+    want = {k: v for k, v in unpruned.items() if v[1] >= mean - 1e-9}
+    got = {
+        (r["a"], r["b"]): (r["cbs"], r["weight"])
+        for r in meta_blocking_pairs(df, ratio=1.0, scheme="ECBS", prune="WEP").collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(unpruned)  # WEP actually pruned something
+
+
+def test_filtering_composes_with_weighting(spark):
+    df = _blocks_df(spark, EX_ROWS)
+    got = {
+        (r["a"], r["b"]): (r["cbs"], r["weight"])
+        for r in meta_blocking_pairs(
+            df, ratio=0.5, scheme="JS", prune="none"
+        ).collect()
+    }
+    assert got == _python_meta(EX_ROWS, 0.5, "JS")
+
+
+def test_max_block_rows_purges_oversized_filtered_blocks(spark):
+    # with ratio=1.0 nothing is filtered; cap 3 purges the size-4 'hot'
+    # block from pair generation, so 3-4 (hot-only pair) disappears
+    df = _blocks_df(spark, EX_ROWS)
+    got = {
+        (r["a"], r["b"]): (r["cbs"], r["weight"])
+        for r in meta_blocking_pairs(
+            df, ratio=1.0, scheme="CBS", prune="none", max_block_rows=3
+        ).collect()
+    }
+    # equal to recomputing on the collection with 'hot' removed up-front,
+    # except entity block counts / totals still include 'hot' — CBS ignores
+    # those, so plain CBS counts must match the hot-less recomputation
+    want = _python_meta([r for r in EX_ROWS if r[1] != "hot"], 1.0, "CBS")
+    assert got == want
+
+
+def test_invalid_args_raise(spark):
+    df = _blocks_df(spark, EX_ROWS)
+    import pytest
+
+    with pytest.raises(ValueError):
+        meta_blocking_pairs(df, scheme="nope")
+    with pytest.raises(ValueError):
+        meta_blocking_pairs(df, prune="nope")
