@@ -276,6 +276,21 @@ def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_blocking_pairs(blocks, ratio=0.5, scheme="ECBS", prune="WEP")
 
 
+def q_meta_blocking_cnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same pipeline, cardinality node pruning: each doc retains only its
+    # top-5 weighted edges (tie: neighbor id asc), edge kept if EITHER
+    # endpoint ranks it — output bounded by cnp_k * n_docs regardless of
+    # skew, the pruning to reach for at 100 TB. Full value oracle.
+    from deepblocker_spark.operators.metablocking import (
+        meta_blocking_pairs,
+        token_blocks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    blocks = token_blocks(docs, text_col="text", id_col="doc_id")
+    return meta_blocking_pairs(blocks, ratio=0.5, scheme="ECBS", prune="CNP", cnp_k=5)
+
+
 def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivorship: after transitive clustering, pick the golden record per
     # component (longest text wins, id tie-break) with cluster size — the
@@ -651,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_blocking": q_key_blocking,
         "key_blocking_purged": q_key_blocking_purged,
         "meta_blocking": q_meta_blocking,
+        "meta_blocking_cnp": q_meta_blocking_cnp,
         "cluster_canonical": q_cluster_canonical,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
@@ -941,7 +957,7 @@ where l.doc_id < r.doc_id
     # ECBS = cbs * ln(total/|B_a|) * ln(total/|B_b|) rounded to 9, WEP with
     # the same mean - 1e-9 epsilon guard the engine applies (so a
     # summation-order ulp in the mean cannot flip a boundary pair).
-    meta_blocking_sql = f"""
+    meta_weighted_cte = f"""
 with blocks as (
   select distinct doc_id as id, tok as block_key
   from (select doc_id, unnest({_TOKS}) as tok from documents)
@@ -973,9 +989,29 @@ weighted as (
   join ent ea on co.a = ea.id
   join ent eb on co.b = eb.id
   cross join tot
-),
+)"""
+
+    meta_blocking_sql = f"""{meta_weighted_cte},
 m as (select avg(weight) as meanw from weighted)
 select a, b, cbs, weight from weighted, m where weight >= meanw - 1e-9
+"""
+
+    # CNP: undirected edge -> both directions, row_number per node by
+    # (weight desc, neighbor asc), edge kept if either endpoint ranks it
+    # in its top-5; distinct collapses the two directions (cbs/weight are
+    # functions of (a,b), so distinct over all four cols == dedup on (a,b))
+    meta_blocking_cnp_sql = f"""{meta_weighted_cte},
+directed as (
+  select a as node, b as nbr, a, b, cbs, weight from weighted
+  union all
+  select b as node, a as nbr, a, b, cbs, weight from weighted
+),
+ranked as (
+  select a, b, cbs, weight,
+         row_number() over (partition by node order by weight desc, nbr asc) as rn
+  from directed
+)
+select distinct a, b, cbs, weight from ranked where rn <= 5
 """
 
     canonical_sql = f"""
@@ -1040,6 +1076,7 @@ select lang, source, count(*)::BIGINT as block_size
 from documents group by lang, source having count(*) > 8
 """,
         "meta_blocking": meta_blocking_sql,
+        "meta_blocking_cnp": meta_blocking_cnp_sql,
         "cluster_canonical": canonical_sql,
         "golden_etl": """
 select o_custkey as ltable_id, o_orderkey as rtable_id

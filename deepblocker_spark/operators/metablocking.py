@@ -100,10 +100,19 @@ def meta_blocking_pairs(
     max_block_rows: int | None = None,
     id_col: str = "id",
     key_col: str = "block_key",
+    cnp_k: int = 10,
 ) -> DataFrame:
     """-> (a, b, cbs, weight): undirected co-occurrence pairs (a < b) of the
-    block-filtered collection, weighted per ``scheme``, pruned per ``prune``
-    ('WEP' keeps weight >= mean - 1e-9; 'none' keeps all).
+    block-filtered collection, weighted per ``scheme``, pruned per ``prune``:
+
+      'WEP'  weighted-edge pruning — keep weight >= mean - 1e-9 (global
+             threshold; output size data-dependent);
+      'CNP'  cardinality node pruning — keep an edge iff it ranks in the
+             top-``cnp_k`` by weight (tie: neighbor id asc) of EITHER
+             endpoint (the redefined/union CNP variant). Output is bounded
+             by ``cnp_k * n_entities`` regardless of skew — the pruning to
+             reach for at 100 TB;
+      'none' keep all.
 
     ECBS(a,b) = CBS * ln(|B|/|B_a|) * ln(|B|/|B_b|) with |B| the filtered
     collection's distinct-block count and |B_e| the entity's filtered block
@@ -119,8 +128,10 @@ def meta_blocking_pairs(
     """
     if scheme not in SCHEMES:
         raise ValueError(f"unknown weighting scheme: {scheme!r} (use {SCHEMES})")
-    if prune not in ("WEP", "none"):
-        raise ValueError(f"unknown prune mode: {prune!r} (use 'WEP' or 'none')")
+    if prune not in ("WEP", "CNP", "none"):
+        raise ValueError(
+            f"unknown prune mode: {prune!r} (use 'WEP', 'CNP' or 'none')"
+        )
     filtered = block_filtering(blocks, ratio, id_col, key_col)
     if max_block_rows is not None:
         kept_sizes = (
@@ -162,6 +173,26 @@ def meta_blocking_pairs(
     )
     if prune == "none":
         return weighted
+    if prune == "CNP":
+        # undirected edge -> both directions; rank per node by (weight desc,
+        # neighbor asc); an edge survives if either endpoint ranks it — one
+        # shuffle on node id, output bounded by cnp_k * n_entities
+        directed = weighted.select(
+            F.col("a").alias("_node"), F.col("b").alias("_nbr"), "a", "b", "cbs", "weight"
+        ).unionByName(
+            weighted.select(
+                F.col("b").alias("_node"), F.col("a").alias("_nbr"), "a", "b", "cbs", "weight"
+            )
+        )
+        w_node = Window.partitionBy("_node").orderBy(
+            F.col("weight").desc(), F.col("_nbr").asc()
+        )
+        return (
+            directed.withColumn("_rn", F.row_number().over(w_node))
+            .filter(F.col("_rn") <= cnp_k)
+            .select("a", "b", "cbs", "weight")
+            .dropDuplicates(["a", "b"])
+        )
     mean = weighted.agg(F.avg("weight").alias("_mean"))
     return weighted.crossJoin(F.broadcast(mean)).filter(
         F.col("weight") >= F.col("_mean") - F.lit(1e-9)

@@ -132,6 +132,35 @@ def test_wep_prunes_below_mean(spark):
     assert 0 < len(got) < len(unpruned)  # WEP actually pruned something
 
 
+def _python_cnp(unpruned, k):
+    from collections import defaultdict
+
+    per_node = defaultdict(list)
+    for (a, b), (_, w) in unpruned.items():
+        per_node[a].append((w, b, (a, b)))
+        per_node[b].append((w, a, (a, b)))
+    keep = set()
+    for edges in per_node.values():
+        edges.sort(key=lambda t: (-t[0], t[1]))
+        keep.update(e for _, _, e in edges[:k])
+    return {e: unpruned[e] for e in keep}
+
+
+def test_cnp_keeps_topk_per_node(spark):
+    df = _blocks_df(spark, EX_ROWS)
+    unpruned = _python_meta(EX_ROWS, 1.0, "ECBS")
+    for k in (1, 2, 100):
+        got = {
+            (r["a"], r["b"]): (r["cbs"], r["weight"])
+            for r in meta_blocking_pairs(
+                df, ratio=1.0, scheme="ECBS", prune="CNP", cnp_k=k
+            ).collect()
+        }
+        assert got == _python_cnp(unpruned, k), k
+    # k=100 >= degree of every node -> CNP is a no-op
+    assert _python_cnp(unpruned, 100) == unpruned
+
+
 def test_filtering_composes_with_weighting(spark):
     df = _blocks_df(spark, EX_ROWS)
     got = {
