@@ -36,6 +36,11 @@ driver action sits in the plan. Scale notes:
   * Weights are rounded to 9 decimals on BOTH engines; the WEP threshold
     compares against mean - 1e-9 so a summation-order ulp in the mean can
     never flip a boundary pair between Spark and the oracle.
+  * The filtered collection (5 consumers) and the weighted pair set (2
+    pruning-pass consumers) are ``.persist()``-ed — Spark shares no common
+    subtrees across DataFrame reuse, so without the caches the blocking +
+    filtering work would rerun once per consumer. Release via
+    :func:`release_metablocking_caches` after the consuming action.
 """
 
 from __future__ import annotations
@@ -46,6 +51,30 @@ from pyspark.sql import functions as F
 from deepblocker_spark.functions.tokenizer import tokens_col
 
 SCHEMES = ("CBS", "ECBS", "JS")
+
+# Persisted frames awaiting release (same discipline as lsh._SIG_CACHES):
+# Spark shares NO common subtrees across DataFrame reuse, so without a
+# persist the filtered collection would be recomputed once per consumer
+# (both self-join sides, both entity-count joins, the block total — 5×) and
+# the weighted pair set once per pruning pass (WEP mean + filter, or CNP's
+# two directions — 2×). Callers release after their action; the
+# ContextCleaner unpersists dropped frames as the GC backstop.
+_MB_CACHES: list[DataFrame] = []
+
+
+def release_metablocking_caches() -> None:
+    """Unpersist frames cached by meta_blocking_pairs. Safe any time after
+    the consuming job finished; later actions recompute rather than fail."""
+    while _MB_CACHES:
+        _MB_CACHES.pop().unpersist()
+
+
+def _mb_persist(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _MB_CACHES.append(df)
+    return df
 
 
 def token_blocks(
@@ -73,16 +102,23 @@ def block_filtering(
     ``ratio`` is applied as an IEEE double multiply then ceil — use
     binary-exact ratios (0.5, 0.75) when cross-engine determinism on the
     exact kept-count matters (the oracle applies the identical arithmetic).
+
+    Block sizes come from a hash aggregation joined back on the key — NOT a
+    ``count(*) over (partition by key)`` window: at scale a hot token would
+    pin its entire block in one window task, while the agg gets map-side
+    partial combine and the join gets AQE skew splitting. The per-entity
+    window below is safe — an entity's block count is bounded by its token
+    count.
     """
-    w_key = Window.partitionBy(key_col)
-    w_ent = Window.partitionBy(id_col).orderBy(
-        F.col("block_size").asc(), F.col(key_col).asc()
+    w_ent = Window.partitionBy("id").orderBy(
+        F.col("block_size").asc(), F.col("block_key").asc()
     )
-    w_ent_all = Window.partitionBy(id_col)
-    sized = blocks.select(
+    w_ent_all = Window.partitionBy("id")
+    sizes = blocks.groupBy(key_col).agg(F.count("*").alias("block_size"))
+    sized = blocks.join(sizes, key_col).select(
         F.col(id_col).alias("id"),
         F.col(key_col).alias("block_key"),
-        F.count("*").over(w_key).alias("block_size"),
+        "block_size",
     )
     return (
         sized.withColumn("_rn", F.row_number().over(w_ent))
@@ -132,7 +168,7 @@ def meta_blocking_pairs(
         raise ValueError(
             f"unknown prune mode: {prune!r} (use 'WEP', 'CNP' or 'none')"
         )
-    filtered = block_filtering(blocks, ratio, id_col, key_col)
+    filtered = _mb_persist(block_filtering(blocks, ratio, id_col, key_col))
     if max_block_rows is not None:
         kept_sizes = (
             filtered.groupBy("block_key")
@@ -173,6 +209,7 @@ def meta_blocking_pairs(
     )
     if prune == "none":
         return weighted
+    weighted = _mb_persist(weighted)
     if prune == "CNP":
         # undirected edge -> both directions; rank per node by (weight desc,
         # neighbor asc); an edge survives if either endpoint ranks it — one

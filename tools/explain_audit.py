@@ -150,6 +150,22 @@ def main() -> None:
     )
     qs["ivf_topk"] = lambda *_: ivf_plan_df
 
+    # Meta-blocking: the 1-row scalars (block total, mean weight) must join
+    # as broadcast nested-loop crosses, never a CartesianProduct; the shared
+    # filtered/weighted frames are persisted (InMemoryTableScan) so the
+    # blocking+filtering subtree is not recomputed per consumer; block sizes
+    # come from a hash agg (map-side combine + AQE-skew-joinable), and the
+    # scan prunes to exactly (doc_id, text).
+    audits["meta_blocking"] = (
+        ["!CartesianProduct", "BroadcastNestedLoopJoin", "InMemoryTableScan",
+         "HashAggregate", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        "1-row scalars broadcast (no cartesian); persisted shared frames "
+        "(filtered collection ×5 consumers, weighted pairs ×2 pruning "
+        "passes); block sizes via hash agg not a hot-key window; scan "
+        "pruned to (doc_id, text)",
+    )
+    qs["meta_blocking"] = m.queries()["meta_blocking"]
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
