@@ -276,6 +276,18 @@ def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_blocking_pairs(blocks, ratio=0.5, scheme="ECBS", prune="WEP")
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sorted-neighborhood blocking (Hernandez & Stolfo '95): global order by
+    # (n_chars, doc_id), window 4 -> every pair within 3 positions. Linear
+    # output, distributed rank (range repartition + partition offsets, no
+    # single-task window), window pairs by EQUI-join on rank+off. Full
+    # value oracle.
+    from deepblocker_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(docs, ["n_chars"], id_col="doc_id", window=4)
+
+
 def q_meta_blocking_cnp(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same pipeline, cardinality node pruning: each doc retains only its
     # top-5 weighted edges (tie: neighbor id asc), edge kept if EITHER
@@ -667,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_blocking_purged": q_key_blocking_purged,
         "meta_blocking": q_meta_blocking,
         "meta_blocking_cnp": q_meta_blocking_cnp,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "cluster_canonical": q_cluster_canonical,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
@@ -1077,6 +1090,17 @@ from documents group by lang, source having count(*) > 8
 """,
         "meta_blocking": meta_blocking_sql,
         "meta_blocking_cnp": meta_blocking_cnp_sql,
+        "sorted_neighborhood": """
+with ranked as (
+  select doc_id, row_number() over (order by n_chars asc, doc_id asc) - 1 as rn
+  from documents
+),
+offs as (select unnest(generate_series(1, 3)) as off)
+select l.doc_id as a, r.doc_id as b, off::BIGINT as off
+from ranked l
+cross join offs
+join ranked r on r.rn = l.rn + off
+""",
         "cluster_canonical": canonical_sql,
         "golden_etl": """
 select o_custkey as ltable_id, o_orderkey as rtable_id
