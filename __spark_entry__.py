@@ -276,6 +276,35 @@ def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_blocking_pairs(blocks, ratio=0.5, scheme="ECBS", prune="WEP")
 
 
+def q_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # evaluation harness: PR-curve of the minhash candidate set against a
+    # deterministic pseudo-golden set (docs sharing a 32-char text prefix)
+    # at five jaccard cuts — the per-run report an ER pipeline logs to pick
+    # its operating threshold. One pass + tiny broadcast grid; zero-count
+    # cuts still appear (no silent drops). Full value oracle.
+    from deepblocker_spark.operators.dedup import minhash_lsh_pairs
+    from deepblocker_spark.operators.metrics import threshold_sweep
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, n_bands=8, jaccard_threshold=0.9
+    ).select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+    keyed = docs.select("doc_id", F.substring("text", 1, 32).alias("_p"))
+    golden = (
+        keyed.alias("l")
+        .join(keyed.alias("r"), "_p")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("ltable_id"),
+            F.col("r.doc_id").alias("rtable_id"),
+        )
+    )
+    return threshold_sweep(
+        scored, golden, [0.9, 0.925, 0.95, 0.975, 0.99],
+        l_col="a", r_col="b", sim_col="jaccard",
+    )
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted-neighborhood blocking (Hernandez & Stolfo '95): global order by
     # (n_chars, doc_id), window 4 -> every pair within 3 positions. Linear
@@ -680,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_blocking": q_meta_blocking,
         "meta_blocking_cnp": q_meta_blocking_cnp,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
@@ -1100,6 +1130,37 @@ select l.doc_id as a, r.doc_id as b, off::BIGINT as off
 from ranked l
 cross join offs
 join ranked r on r.rn = l.rn + off
+""",
+        "pr_sweep": f"""
+with scored as ({minhash_pairs_sql}),
+g as (
+  select distinct l.doc_id as a, r.doc_id as b
+  from documents l join documents r
+    on substr(l.text, 1, 32) = substr(r.text, 1, 32) and l.doc_id < r.doc_id
+),
+ng as (select count(*)::BIGINT as n_gold from g),
+p as (select a, b, max(jaccard) as sim from scored group by a, b),
+j as (
+  select p.sim, case when g.a is null then 0 else 1 end as m
+  from p left join g on p.a = g.a and p.b = g.b
+),
+th as (select unnest([0.9, 0.925, 0.95, 0.975, 0.99]) as threshold),
+hits as (
+  select threshold, count(*)::BIGINT as n_pred, sum(m)::BIGINT as tp
+  from j join th on j.sim >= th.threshold
+  group by threshold
+)
+select th.threshold,
+       coalesce(n_pred, 0)::BIGINT as n_pred,
+       coalesce(tp, 0)::BIGINT as tp,
+       n_gold,
+       round(case when coalesce(n_pred, 0) > 0
+                  then coalesce(tp, 0)::DOUBLE / n_pred end, 9) as precision,
+       round(case when n_gold > 0
+                  then coalesce(tp, 0)::DOUBLE / n_gold end, 9) as recall,
+       round(case when coalesce(n_pred, 0) + n_gold > 0
+                  then 2 * coalesce(tp, 0)::DOUBLE / (coalesce(n_pred, 0) + n_gold) end, 9) as f1
+from th left join hits using (threshold) cross join ng
 """,
         "cluster_canonical": canonical_sql,
         "golden_etl": """

@@ -83,3 +83,85 @@ def pairwise_f1(
         "n_pred",
         "n_gold",
     )
+
+
+def threshold_sweep(
+    scored: DataFrame,
+    golden: DataFrame,
+    thresholds: list[float],
+    l_col: str = "l_id",
+    r_col: str = "r_id",
+    sim_col: str = "sim",
+    golden_l: str = "ltable_id",
+    golden_r: str = "rtable_id",
+) -> DataFrame:
+    """Precision/recall/F1 of the scored pair set against ``golden`` at each
+    cut in ``thresholds`` — the PR-curve an ER pipeline logs per run to pick
+    its operating point. -> one row per threshold: (threshold, n_pred, tp,
+    n_gold, precision, recall, f1), counts long, ratios rounded to 9.
+
+    One pass over the scored pairs: normalize to undirected (least/greatest,
+    max sim per pair), LEFT-join the golden flag (plain equi-join — golden
+    may be large at scale, AQE broadcasts it when it isn't), explode the
+    (tiny, broadcast) threshold grid against each pair's sim, and hash-
+    aggregate per threshold. Thresholds that no pair clears still appear
+    (zero counts): the grid frame is the left side, so no cut is silently
+    dropped. Ratios with zero denominators are NULL (never 0/0) —
+    identical case-guards on the oracle side keep the engines aligned.
+
+    f1 is computed as 2*tp/(n_pred+n_gold) — algebraically the harmonic
+    mean of precision and recall but free of compounded rounding."""
+    a, b = F.col(l_col), F.col(r_col)
+    p = (
+        scored.select(
+            F.least(a, b).alias("a"),
+            F.greatest(a, b).alias("b"),
+            F.col(sim_col).alias("_sim"),
+        )
+        .groupBy("a", "b")
+        .agg(F.max("_sim").alias("_sim"))
+    )
+    ga, gb = F.col(golden_l), F.col(golden_r)
+    g = (
+        golden.select(F.least(ga, gb).alias("a"), F.greatest(ga, gb).alias("b"))
+        .dropDuplicates()
+        .withColumn("_m", F.lit(1))
+    )
+    joined = p.join(g, ["a", "b"], "left")
+    spark = scored.sparkSession
+    th = spark.createDataFrame([(float(t),) for t in thresholds], "threshold double")
+    hits = (
+        joined.join(F.broadcast(th), F.col("_sim") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count("*").alias("n_pred"),
+            F.coalesce(F.sum("_m"), F.lit(0)).alias("tp"),
+        )
+    )
+    n_gold = g.agg(F.count("*").alias("n_gold"))
+    out = (
+        th.join(hits, "threshold", "left")
+        .crossJoin(F.broadcast(n_gold))
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            F.col("n_gold").cast("long").alias("n_gold"),
+        )
+    )
+    return out.select(
+        "threshold", "n_pred", "tp", "n_gold",
+        F.round(
+            F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")), 9
+        ).alias("precision"),
+        F.round(
+            F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")), 9
+        ).alias("recall"),
+        F.round(
+            F.when(
+                F.col("n_pred") + F.col("n_gold") > 0,
+                2 * F.col("tp") / (F.col("n_pred") + F.col("n_gold")),
+            ),
+            9,
+        ).alias("f1"),
+    )
