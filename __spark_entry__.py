@@ -332,6 +332,39 @@ def q_meta_blocking_cnp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_blocking_pairs(blocks, ratio=0.5, scheme="ECBS", prune="CNP", cnp_k=5)
 
 
+def q_meta_blocking_wnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same pipeline, weighted node pruning: an edge survives if it clears
+    # the MEAN weight of EITHER endpoint's edges (redefined/union WNP) —
+    # the local-threshold companion to WEP's one global mean; adapts to
+    # skewed neighborhoods. Full value oracle.
+    from deepblocker_spark.operators.metablocking import (
+        meta_blocking_pairs,
+        token_blocks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    blocks = token_blocks(docs, text_col="text", id_col="doc_id")
+    return meta_blocking_pairs(blocks, ratio=0.5, scheme="ECBS", prune="WNP")
+
+
+def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-to-one matching round 1: minhash candidates scored by exact
+    # jaccard, keep pairs that are BOTH endpoints' best edge under the
+    # global order (score desc, a asc, b asc) — the symmetric-best filter
+    # an ER pipeline applies before committing matches. One node-keyed
+    # window + a count==2 group; full value oracle. The full iterated
+    # greedy matching (matching.greedy_one_to_one) is pytest-locked
+    # against a sequential-scan oracle (tests/test_matching.py).
+    from deepblocker_spark.operators.dedup import minhash_lsh_pairs
+    from deepblocker_spark.operators.matching import mutual_best_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, n_bands=8, jaccard_threshold=0.9
+    ).select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+    return mutual_best_pairs(scored, score_col="jaccard")
+
+
 def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     # survivorship: after transitive clustering, pick the golden record per
     # component (longest text wins, id tie-break) with cluster size — the
@@ -708,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_blocking_purged": q_key_blocking_purged,
         "meta_blocking": q_meta_blocking,
         "meta_blocking_cnp": q_meta_blocking_cnp,
+        "meta_blocking_wnp": q_meta_blocking_wnp,
+        "mutual_best_match": q_mutual_best_match,
         "sorted_neighborhood": q_sorted_neighborhood,
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
@@ -1057,6 +1092,24 @@ ranked as (
 select distinct a, b, cbs, weight from ranked where rn <= 5
 """
 
+    # WNP: per-node mean weight as the local threshold — both directions,
+    # avg over each node's edges, keep an edge clearing EITHER endpoint's
+    # mean (same - 1e-9 epsilon guard as WEP); distinct collapses the two
+    # directions exactly as in CNP.
+    meta_blocking_wnp_sql = f"""{meta_weighted_cte},
+directed as (
+  select a as node, a, b, cbs, weight from weighted
+  union all
+  select b as node, a, b, cbs, weight from weighted
+),
+thresholds as (
+  select node, avg(weight) as meanw from directed group by node
+)
+select distinct a, b, cbs, weight
+from directed d join thresholds t on d.node = t.node
+where weight >= meanw - 1e-9
+"""
+
     canonical_sql = f"""
 select component, id as canonical_id, n_members, n_chars
 from (
@@ -1120,6 +1173,24 @@ from documents group by lang, source having count(*) > 8
 """,
         "meta_blocking": meta_blocking_sql,
         "meta_blocking_cnp": meta_blocking_cnp_sql,
+        "meta_blocking_wnp": meta_blocking_wnp_sql,
+        "mutual_best_match": f"""
+with edges as ({minhash_pairs_sql}),
+directed as (
+  select a as node, a, b, jaccard from edges
+  union all
+  select b as node, a, b, jaccard from edges
+),
+ranked as (
+  select a, b, jaccard,
+         row_number() over (
+           partition by node order by jaccard desc, a asc, b asc
+         ) as rn
+  from directed
+)
+select a, b, jaccard as score from ranked where rn = 1
+group by a, b, jaccard having count(*) = 2
+""",
         "sorted_neighborhood": """
 with ranked as (
   select doc_id, row_number() over (order by n_chars asc, doc_id asc) - 1 as rn

@@ -1,0 +1,160 @@
+"""One-to-one matching over scored candidate pairs (the step after
+scoring in an ER pipeline; no reference counterpart — qcri/DeepBlocker
+stops at the candidate set, `/root/reference/deep_blocker.py:48-74`, and
+leaves matching to the downstream matcher).
+
+Two operators over an undirected scored edge set (a, b, score) with
+canonical a < b keys:
+
+* ``mutual_best_pairs`` — keep an edge iff it is BOTH endpoints' best
+  edge under the global total order (score desc, a asc, b asc). One
+  round, fully declarative (union + window + group), SQL-expressible —
+  the driver query ``mutual_best_match`` carries a full value oracle.
+
+* ``greedy_one_to_one`` — maximal one-to-one matching equal to the
+  sequential greedy algorithm (scan edges by the same total order, take
+  an edge iff both endpoints are still free). Classic result: iterating
+  "select all locally-dominant edges, remove their endpoints" converges
+  to exactly the sequential greedy matching for ANY total order on
+  edges, because a locally-dominant edge has no earlier-ordered
+  competitor at either endpoint (Preis '99 / Manne-Bisseling parallel
+  greedy matching). Each round is two shuffles (node-keyed window +
+  anti-join); locally-dominant selection removes at least half the
+  remaining weightiest chain ends, so rounds are O(log E) on real ER
+  graphs (near-clique components converge in 1-2 rounds).
+
+Scale notes: the candidate-pair graph is orders of magnitude smaller
+than the input table (it IS the blocking output), so like
+``cluster.connected_components`` a driver fast path handles graphs up to
+``driver_threshold`` edges with a single sequential scan — the exact
+oracle algorithm — and the distributed rounds take over past it. Both
+paths emit identical matchings (pytest-locked, including all-ties
+inputs); there is no path-dependent column in the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _directed(edges: DataFrame) -> DataFrame:
+    """Undirected (a, b, score) -> node-keyed view with both directions."""
+    return edges.select(
+        F.col("a").alias("_node"), "a", "b", "score"
+    ).unionByName(edges.select(F.col("b").alias("_node"), "a", "b", "score"))
+
+
+def _edge_order():
+    """Global total order on edges: score desc, then canonical key asc —
+    ties on score are broken identically at every node, which is what
+    makes the iterated local selection equal the sequential greedy scan.
+    (Built lazily: Column construction needs an active session.)"""
+    return (F.col("score").desc(), F.col("a").asc(), F.col("b").asc())
+
+
+def mutual_best_pairs(
+    edges: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    score_col: str = "score",
+) -> DataFrame:
+    """-> (a, b, score): edges that are the top-ranked edge of BOTH
+    endpoints under (score desc, a asc, b asc).
+
+    Plan shape: one union (no shuffle), one node-keyed window (single
+    hash exchange on _node), then a count==2 group on the edge key. The
+    symmetric-best check never joins back to the input table.
+    """
+    e = edges.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b"),
+        F.col(score_col).alias("score"),
+    )
+    w = Window.partitionBy("_node").orderBy(*_edge_order())
+    best = (
+        _directed(e)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return (
+        best.groupBy("a", "b", "score")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") == 2)
+        .drop("_c")
+    )
+
+
+def _driver_greedy(edges: DataFrame) -> DataFrame:
+    """Sequential greedy matching on the driver — the oracle algorithm.
+
+    Sort by the global edge order, scan once, take an edge iff both
+    endpoints are free. O(E log E); bounded by driver_threshold edges.
+    """
+    pdf = edges.toPandas()
+    pdf = pdf.sort_values(
+        ["score", "a", "b"], ascending=[False, True, True], kind="mergesort"
+    )
+    taken: set = set()
+    keep = []
+    for i, (a, b, _score) in enumerate(pdf.itertuples(index=False)):
+        if a not in taken and b not in taken:
+            taken.add(a)
+            taken.add(b)
+            keep.append(i)
+    spark = edges.sparkSession
+    if not keep:
+        return spark.createDataFrame([], edges.schema)
+    return spark.createDataFrame(pdf.iloc[keep], schema=edges.schema)
+
+
+def greedy_one_to_one(
+    edges: DataFrame,
+    id_a: str = "a",
+    id_b: str = "b",
+    score_col: str = "score",
+    max_rounds: int = 40,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
+    """-> (a, b, score): maximal one-to-one matching — every node appears
+    at most once, and no surviving input edge has both endpoints free.
+    Output equals the sequential greedy scan under (score desc, a asc,
+    b asc) regardless of which physical path ran.
+
+    ``max_rounds`` is a lineage bound, not an approximation knob: each
+    round's matched edges are final (they are exactly the next block of
+    the sequential greedy's picks), and the loop stops early when no
+    edge survives. Remaining edges are localCheckpoint-ed per round to
+    cut the growing anti-join lineage, same discipline as
+    ``cluster.connected_components``.
+    """
+    e = edges.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b"),
+        F.col(score_col).alias("score"),
+    ).filter(F.col("a") != F.col("b"))
+    e = e.localCheckpoint()
+    if e.count() <= driver_threshold:
+        return _driver_greedy(e)
+
+    spark = e.sparkSession
+    matched: DataFrame | None = None
+    remaining = e
+    for _ in range(max_rounds):
+        picked = mutual_best_pairs(remaining).localCheckpoint()
+        if picked.isEmpty():
+            break
+        matched = picked if matched is None else matched.unionByName(picked)
+        nodes = (
+            picked.select(F.col("a").alias("_m"))
+            .unionByName(picked.select(F.col("b").alias("_m")))
+            .distinct()
+        )
+        remaining = (
+            remaining.join(
+                nodes, remaining["a"] == nodes["_m"], "left_anti"
+            ).join(nodes, F.col("b") == nodes["_m"], "left_anti")
+        ).localCheckpoint()
+        if remaining.isEmpty():
+            break
+    if matched is None:
+        return spark.createDataFrame([], e.schema)
+    return matched

@@ -148,6 +148,12 @@ def meta_blocking_pairs(
              endpoint (the redefined/union CNP variant). Output is bounded
              by ``cnp_k * n_entities`` regardless of skew — the pruning to
              reach for at 100 TB;
+      'WNP'  weighted node pruning — keep an edge iff its weight clears
+             the MEAN weight of EITHER endpoint's edges (redefined/union
+             WNP; same ``- 1e-9`` epsilon guard as WEP so a
+             summation-order ulp cannot flip a boundary pair). Local
+             thresholds adapt to each node's neighborhood where WEP's
+             single global mean over- or under-prunes skewed regions;
       'none' keep all.
 
     ECBS(a,b) = CBS * ln(|B|/|B_a|) * ln(|B|/|B_b|) with |B| the filtered
@@ -164,9 +170,9 @@ def meta_blocking_pairs(
     """
     if scheme not in SCHEMES:
         raise ValueError(f"unknown weighting scheme: {scheme!r} (use {SCHEMES})")
-    if prune not in ("WEP", "CNP", "none"):
+    if prune not in ("WEP", "CNP", "WNP", "none"):
         raise ValueError(
-            f"unknown prune mode: {prune!r} (use 'WEP', 'CNP' or 'none')"
+            f"unknown prune mode: {prune!r} (use 'WEP', 'CNP', 'WNP' or 'none')"
         )
     filtered = _mb_persist(block_filtering(blocks, ratio, id_col, key_col))
     if max_block_rows is not None:
@@ -227,6 +233,24 @@ def meta_blocking_pairs(
         return (
             directed.withColumn("_rn", F.row_number().over(w_node))
             .filter(F.col("_rn") <= cnp_k)
+            .select("a", "b", "cbs", "weight")
+            .dropDuplicates(["a", "b"])
+        )
+    if prune == "WNP":
+        # per-node mean weight instead of CNP's per-node rank: one
+        # groupBy on node id for the thresholds, then the directed view
+        # filters against its own node's mean — an edge survives if it
+        # clears EITHER endpoint's local mean. Same shuffle count as
+        # CNP (node-keyed exchange), output data-dependent like WEP.
+        directed = weighted.select(
+            F.col("a").alias("_node"), "a", "b", "cbs", "weight"
+        ).unionByName(
+            weighted.select(F.col("b").alias("_node"), "a", "b", "cbs", "weight")
+        )
+        node_mean = directed.groupBy("_node").agg(F.avg("weight").alias("_mean"))
+        return (
+            directed.join(node_mean, "_node")
+            .filter(F.col("weight") >= F.col("_mean") - F.lit(1e-9))
             .select("a", "b", "cbs", "weight")
             .dropDuplicates(["a", "b"])
         )

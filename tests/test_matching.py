@@ -1,0 +1,120 @@
+"""One-to-one matching — hand-computed mutual-best cases, plus the
+distributed greedy matching checked edge-for-edge against an independent
+sequential greedy scan (the textbook algorithm) on random graphs,
+including all-equal-score tie storms and both physical paths."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from deepblocker_spark.operators.matching import (
+    greedy_one_to_one,
+    mutual_best_pairs,
+)
+
+
+def _edges_df(spark, rows):
+    return spark.createDataFrame(rows, "a long, b long, score double")
+
+
+def _sequential_greedy(rows):
+    """Independent oracle: scan by (score desc, a asc, b asc), take an
+    edge iff both endpoints are free."""
+    taken, out = set(), set()
+    for a, b, s in sorted(rows, key=lambda r: (-r[2], r[0], r[1])):
+        if a not in taken and b not in taken:
+            taken.add(a)
+            taken.add(b)
+            out.add((a, b, s))
+    return out
+
+
+def test_mutual_best_simple_chain(spark):
+    # 1-2 (0.9), 2-3 (0.8), 3-4 (0.95): 3-4 mutual; 1-2 mutual (2's best
+    # is 1? no — 2's edges: 1@0.9, 3@0.8 -> best 1; 1's best is 2) ✓;
+    # 2-3 not mutual (neither endpoint ranks it first).
+    rows = [(1, 2, 0.9), (2, 3, 0.8), (3, 4, 0.95)]
+    got = {tuple(r) for r in mutual_best_pairs(_edges_df(spark, rows)).collect()}
+    assert got == {(1, 2, 0.9), (3, 4, 0.95)}
+
+
+def test_mutual_best_tie_broken_by_edge_key(spark):
+    # node 2 ties between 1 and 3 at 0.5 -> global order picks (1,2)
+    # before (2,3); (1,2) is mutual, (2,3) is not.
+    rows = [(1, 2, 0.5), (2, 3, 0.5)]
+    got = {tuple(r) for r in mutual_best_pairs(_edges_df(spark, rows)).collect()}
+    assert got == {(1, 2, 0.5)}
+
+
+def test_mutual_best_empty(spark):
+    assert mutual_best_pairs(_edges_df(spark, [])).count() == 0
+
+
+def _random_rows(seed, n_nodes=60, n_edges=150, tie_storm=False):
+    rng = np.random.default_rng(seed)
+    seen = set()
+    while len(seen) < n_edges:
+        a, b = rng.integers(0, n_nodes, 2)
+        if a != b:
+            seen.add((min(int(a), int(b)), max(int(a), int(b))))
+    if tie_storm:
+        return [(a, b, 1.0) for a, b in sorted(seen)]
+    return [
+        (a, b, float(np.round(rng.random(), 6))) for a, b in sorted(seen)
+    ]
+
+
+def test_greedy_equals_sequential_oracle_driver_path(spark):
+    rows = _random_rows(7)
+    got = greedy_one_to_one(_edges_df(spark, rows))  # small -> driver path
+    assert {tuple(r) for r in got.collect()} == _sequential_greedy(rows)
+
+
+def test_greedy_equals_sequential_oracle_distributed_path(spark):
+    rows = _random_rows(11)
+    got = greedy_one_to_one(_edges_df(spark, rows), driver_threshold=0)
+    assert {tuple(r) for r in got.collect()} == _sequential_greedy(rows)
+
+
+def test_greedy_tie_storm_paths_agree(spark):
+    # every score equal: the global (a, b) tie order alone must make both
+    # physical paths reproduce the sequential scan exactly
+    rows = _random_rows(3, tie_storm=True)
+    want = _sequential_greedy(rows)
+    for thr in (0, 10**6):
+        got = greedy_one_to_one(_edges_df(spark, rows), driver_threshold=thr)
+        assert {tuple(r) for r in got.collect()} == want
+
+
+def test_greedy_matching_is_node_disjoint_and_maximal(spark):
+    rows = _random_rows(23, n_nodes=40, n_edges=120)
+    matched = greedy_one_to_one(_edges_df(spark, rows), driver_threshold=0).collect()
+    used = [x for r in matched for x in (r["a"], r["b"])]
+    assert len(used) == len(set(used))  # one-to-one
+    free = set(range(40)) - set(used)
+    # maximal: no input edge joins two free nodes
+    assert not any(a in free and b in free for a, b, _ in rows)
+
+
+def test_greedy_empty_and_self_loop(spark):
+    assert greedy_one_to_one(_edges_df(spark, [])).count() == 0
+    only_loop = _edges_df(spark, [(5, 5, 1.0)])
+    assert greedy_one_to_one(only_loop).count() == 0
+
+
+def test_mutual_best_pandas_crosscheck(spark):
+    # independent pandas recomputation of round-1 mutual best
+    rows = _random_rows(41)
+    pdf = pd.DataFrame(rows, columns=["a", "b", "score"])
+    directed = pd.concat(
+        [
+            pdf.assign(node=pdf["a"]),
+            pdf.assign(node=pdf["b"]),
+        ]
+    ).sort_values(["score", "a", "b"], ascending=[False, True, True])
+    best = directed.groupby("node", sort=False).head(1)
+    counts = best.groupby(["a", "b", "score"]).size()
+    want = {k for k, v in counts.items() if v == 2}
+    got = {tuple(r) for r in mutual_best_pairs(_edges_df(spark, rows)).collect()}
+    assert got == want

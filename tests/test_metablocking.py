@@ -161,6 +161,43 @@ def test_cnp_keeps_topk_per_node(spark):
     assert _python_cnp(unpruned, 100) == unpruned
 
 
+def _python_wnp(unpruned):
+    from collections import defaultdict
+
+    per_node = defaultdict(list)
+    for (a, b), (_, w) in unpruned.items():
+        per_node[a].append((w, (a, b)))
+        per_node[b].append((w, (a, b)))
+    keep = set()
+    for edges in per_node.values():
+        mean = sum(w for w, _ in edges) / len(edges)
+        keep.update(e for w, e in edges if w >= mean - 1e-9)
+    return {e: unpruned[e] for e in keep}
+
+
+def test_wnp_prunes_below_either_endpoints_mean(spark):
+    # EX_ROWS extended with a weakly-attached tail (5-6 via their own
+    # block, 6 also in 'hot') — chosen so WNP's local thresholds keep
+    # edges WEP's one global mean discards (verified below)
+    rows = EX_ROWS + [(5, "solo"), (5, "x5"), (6, "x5"), (6, "hot")]
+    df = _blocks_df(spark, rows)
+    unpruned = _python_meta(rows, 1.0, "ECBS")
+    want = _python_wnp(unpruned)
+    got = {
+        (r["a"], r["b"]): (r["cbs"], r["weight"])
+        for r in meta_blocking_pairs(
+            df, ratio=1.0, scheme="ECBS", prune="WNP"
+        ).collect()
+    }
+    assert got == want
+    assert 0 < len(got) <= len(unpruned)
+    # WNP differs from WEP on this graph (local vs global threshold
+    # actually changes the survivor set — the test is not vacuous)
+    mean = sum(w for _, w in unpruned.values()) / len(unpruned)
+    wep = {k for k, v in unpruned.items() if v[1] >= mean - 1e-9}
+    assert set(want) != wep
+
+
 def test_filtering_composes_with_weighting(spark):
     df = _blocks_df(spark, EX_ROWS)
     got = {
