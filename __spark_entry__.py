@@ -152,6 +152,39 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # prefix-filtered set-similarity join (AllPairs/PPJoin family): same
+    # exact threshold-Jaccard semantics as ngram_jaccard but the inverted
+    # index holds only each doc's rarest-first prefix — the lossless
+    # high-threshold plan for 100 TB. Oracle is the exhaustive join: the
+    # whole point is that pruning changes nothing. Full value oracle.
+    from deepblocker_spark.operators.dedup import prefix_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return pairs.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+
+
+def q_ensemble_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocking ensemble: union of two complementary blockers' candidate
+    # sets (banded minhash at t>=0.9, prefix-filtered exact Jaccard at
+    # t>=0.6) with per-pair provenance — the recall hedge + evaluation
+    # breakdown a production ER pipeline records. One union + one pair-key
+    # groupBy, no joins. Full value oracle.
+    from deepblocker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        prefix_jaccard_pairs,
+    )
+    from deepblocker_spark.operators.ensemble import ensemble_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, n_bands=8, jaccard_threshold=0.9
+    )
+    pj = prefix_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+    return ensemble_pairs({"minhash": mh, "prefix": pj})
+
+
 def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O23-O25: exact top-10 cosine self-join over the embeddings table
     emb = _t(spark, sf_dir, "embeddings")
@@ -732,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_sig": q_minhash_sig,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "prefix_jaccard": q_prefix_jaccard,
+        "ensemble_blocking": q_ensemble_blocking,
         "topk_cosine": q_topk_cosine,
         "topk_cosine_dyadic": q_topk_cosine_dyadic,
         "emb_neardup": q_emb_neardup,
@@ -936,6 +971,10 @@ pi as (
 )
 select a, b, round(jac, 9) as jaccard from j where jac >= 0.1
 """
+
+    # prefix_jaccard's oracle: the SAME exhaustive inverted-index join at
+    # threshold 0.6 — prefix filtering must change nothing.
+    prefix_jaccard_sql = ngram_sql.replace("jac >= 0.1", "jac >= 0.6")
 
     topk_sql = """
 with sims as (
@@ -1161,6 +1200,17 @@ select doc_id, {_minhash_cols_sql(8)} from t
         "tfidf_cosine": tfidf_cosine_sql,
         "nearest_name_lev": nearest_name_sql,
         "ngram_jaccard": ngram_sql,
+        "prefix_jaccard": prefix_jaccard_sql,
+        "ensemble_blocking": f"""
+with u as (
+  select a, b, 'minhash' as src from ({minhash_pairs_sql})
+  union all
+  select a, b, 'prefix' as src from ({prefix_jaccard_sql})
+)
+select a, b, list_sort(list(distinct src)) as sources,
+       count(distinct src)::INT as n_sources
+from u group by a, b
+""",
         "topk_cosine": topk_sql,
         "topk_cosine_dyadic": topk_dyadic_sql,
         "emb_neardup": neardup_sql,

@@ -6,16 +6,17 @@ JSON line to stdout:
 
   {"metric": "suite_seconds", "value": N, "unit": "sec",
    "queries": {...per-query seconds...}, "sf": ...,
-   "shuffle_bytes": {...per-query write/read/input totals...},
-   "lsh_dyadic": {...240k x 240k-half dyadic LSH scale number...},
-   "scaling": {"rows": R, "local2_rows_per_sec": ..., "local8_rows_per_sec": ...,
-               "speedup": ..., "efficiency": ...}}
+   "shuffle_write": {...per-query shuffle-write bytes...},
+   "lsh_dyadic": {...240k-half dyadic LSH scale number...},
+   "scaling": {"rows": R, "local2_seconds": ..., "local8_seconds": ...,
+               "speedup": ..., "efficiency": ..., ...gate estimators...}}
 
-The FULL result — including the per-stage shuffle detail arrays for
-SHUFFLE_DETAIL_QUERIES — is written to BENCH.json next to this file
-(VERDICT r3 #1: round 3's stdout line grew past the driver's tail-capture
-window and the recorded artifact lost everything; stdout now stays compact
-and the file carries the detail).
+The stdout line is a fixed WHITELIST measured ~1.5 KB: the driver's tail
+capture holds only ~2 KB (VERDICT r3 #1 — round 3's line grew past it and
+the recorded artifact lost everything; the same would have happened again
+at round 4's detail level). The FULL result — per-stage shuffle arrays,
+per-round scaling lists, control definitions and raw times — is written
+to BENCH.json next to this file.
 
 The scaling section evidences the north_rule's N-vs-4N-executor criterion in
 this sandbox: the same self-blocking job (synthetic repo-file table ->
@@ -213,7 +214,7 @@ def _run_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
 
 def _scaling_job(spark, parquet_path: str, limit: int | None = None,
                  rows_hint: int | None = None, n_parts: int = 64,
-                 pairing: str = "auto") -> dict:
+                 pairing: str = "auto", emb_dtype: str | None = None) -> dict:
     """The measured workload — the production blocking pipeline's candidate
     stage with the same pairing selection `run_blocking_pipeline` uses:
     preprocess -> SIF embed -> top-10 self-join. At the default SCALE_ROWS
@@ -255,6 +256,7 @@ def _scaling_job(spark, parquet_path: str, limit: int | None = None,
             emb, id_col="iid", dim=cfg.emb_dim, k=10,
             n_bands=cfg.lsh_n_bands, band_bits=cfg.lsh_band_bits,
             seed=cfg.random_seed, max_bucket_rows=cfg.lsh_max_bucket_rows,
+            emb_dtype=emb_dtype or cfg.lsh_emb_dtype,
         )
     else:
         cand = exact_topk_join(
@@ -952,12 +954,47 @@ def main():
         json.dump(out, f, indent=1)
     print(f"# full artifact -> {bench_path}", file=sys.stderr)
 
-    def compact(obj):
-        if isinstance(obj, dict):
-            return {k: compact(v) for k, v in obj.items() if k != "stages"}
-        return obj
+    # The driver's tail capture holds ~2 KB: round 3's line (with stage
+    # arrays) truncated mid-JSON and the artifact recorded parsed=null.
+    # The stdout line is therefore a fixed WHITELIST of headline scalars —
+    # suite value, per-query seconds, per-query shuffle-write, dyadic/
+    # microbench results, and the scaling gate numbers for both pairings —
+    # measured ~1.8 KB; every dropped field (stage arrays, per-round
+    # lists, control definitions, raw times) lives in BENCH.json.
+    scaling_keys = (
+        "rows", "pairing", "rounds", "local2_seconds", "local8_seconds",
+        "speedup", "efficiency", "efficiency_median_round",
+        "efficiency_minpair", "host_control_efficiency",
+        "bandwidth_control_efficiency", "host_normalized_best",
+        "carried_from_previous_run",
+    )
+    line = {k: out[k] for k in
+            ("metric", "value", "unit", "queries", "sf", "wall_seconds")
+            if k in out}
+    if "shuffle_bytes" in out:
+        line["shuffle_write"] = {
+            q: v.get("shuffle_write") for q, v in out["shuffle_bytes"].items()
+            if isinstance(v, dict)
+        }
+    if isinstance(out.get("lsh_dyadic"), dict):
+        line["lsh_dyadic"] = {kk: out["lsh_dyadic"][kk]
+                              for kk in ("rows_per_side", "seconds", "pairs", "error")
+                              if kk in out["lsh_dyadic"]}
+    if isinstance(out.get("scoring_jw"), dict):
+        line["scoring_jw"] = {kk: out["scoring_jw"][kk]
+                              for kk in ("batch_pairs_per_sec", "speedup")
+                              if kk in out["scoring_jw"]}
+    if "single_node_flagship_seconds" in out:
+        line["single_node_flagship_seconds"] = out["single_node_flagship_seconds"]
+    for k in ("scaling", "scaling_exact"):
+        if k in out and isinstance(out[k], dict):
+            line[k] = {kk: out[k][kk] for kk in scaling_keys if kk in out[k]}
+    if isinstance(out.get("scaling"), dict) and \
+            "single_node_vs_spark_ratio" in out["scaling"]:
+        line["scaling"]["single_node_vs_spark_ratio"] = \
+            out["scaling"]["single_node_vs_spark_ratio"]
 
-    print(json.dumps(compact(out)))
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

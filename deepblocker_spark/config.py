@@ -54,6 +54,18 @@ class BlockerConfig:
     lsh_n_bands: int = 8
     lsh_band_bits: int = 12
     lsh_max_bucket_rows: int = 5_000
+    # Transport precision for the vector carried through the LSH kernel
+    # exchange: 'f16' (default — HALF the bytes of the plan's biggest
+    # shuffle; bucket keys unaffected, in-bucket scores carry ~1e-3
+    # quantization error) or 'f32' (lossless). Measured on the 240k-row
+    # scaling input (tools/f16_ab.py, same-phase pinned pairs): identical
+    # candidate-pair count at both precisions, wall time -12%/-14% at
+    # local[2]/local[8] — the kernel exchange is bandwidth-bound, so fewer
+    # bytes is directly wall time (BASELINE.md protocol v5). Operator-level
+    # call sites (driver oracle queries, ann.py) default to 'f32' so
+    # hash-locked outputs stay bit-identical; this config knob governs the
+    # production pipeline + bench scale path.
+    lsh_emb_dtype: str = "f16"
     # None = auto-size n_cells to ~sqrt(N) from the embeddings manifest row
     # count (a fixed cell count degenerates as the corpus grows); set an int
     # to override.

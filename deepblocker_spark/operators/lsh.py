@@ -66,6 +66,7 @@ def signature_buckets(
     include_emb: bool = False,
     extra_cols: list[str] | None = None,
     emb_binary: bool = False,
+    emb_dtype: str = "f32",
 ) -> DataFrame:
     """-> DataFrame(id, band int, bucket long[, emb][, extras]): one row per
     (row, band). bucket = the band's sign bits packed into an int64.
@@ -89,7 +90,22 @@ def signature_buckets(
     bytes objects, and the kernel decodes the whole partition with a single
     ``np.frombuffer`` — bit-identical f32 payload, same shuffle bytes.
     Only for numpy-kernel consumers (the batch LSH paths); the streaming
-    path keeps arrays for JVM ``cosine_col``."""
+    path keeps arrays for JVM ``cosine_col``.
+
+    ``emb_dtype='f16'`` (binary transport only) additionally quantizes the
+    blob to little-endian float16 — HALF the exchange bytes for the
+    kernel's wide rows, aimed squarely at the measured bottleneck: the
+    bucket-kernel and merge stages are memory-bandwidth-bound (BASELINE.md
+    protocol v5; the STREAM-triad control caps their scaling on a shared
+    bus), and at 100 TB the kernel exchange is the single largest shuffle
+    of the blocking plan. Bucket keys are UNAFFECTED (signs are computed
+    from the full-precision vector before packing), so candidate
+    *generation* is identical; only the in-bucket cosine scores see the
+    ~1e-3 relative quantization error, which can reorder near-ties in the
+    top-K tail (recall property-tested in tests/test_lsh_f16.py). Default
+    stays f32: hash-locked oracle outputs are bit-identical."""
+    if emb_dtype not in ("f32", "f16"):
+        raise ValueError(f"unknown emb_dtype: {emb_dtype!r} (use 'f32' or 'f16')")
     extra_cols = extra_cols or []
     fields = [
         StructField(id_col, df.select(id_col).schema.fields[0].dataType, True),
@@ -132,11 +148,14 @@ def signature_buckets(
             )
             if include_emb:
                 if emb_binary:
-                    # requires f32-representable embeddings (the engine's
-                    # EMBEDDING column is array<float>, so this is lossless)
-                    x32 = x_arr.astype(np.float32, copy=False)
-                    raw = x32.tobytes()
-                    stride = x32.shape[1] * 4
+                    # f32: lossless (the engine's EMBEDDING column is
+                    # array<float>); f16: quantized transport, half bytes
+                    xq = x_arr.astype(
+                        np.float16 if emb_dtype == "f16" else np.float32,
+                        copy=False,
+                    )
+                    raw = xq.tobytes()
+                    stride = xq.shape[1] * xq.dtype.itemsize
                     blobs = [raw[i * stride : (i + 1) * stride] for i in range(n)]
                     out["_emb"] = blobs * nb  # list-repeat shares the bytes
                 else:
@@ -175,12 +194,12 @@ def release_signature_caches() -> None:
 
 
 def _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed,
-                    emb_binary: bool = False) -> DataFrame:
+                    emb_binary: bool = False, emb_dtype: str = "f32") -> DataFrame:
     from pyspark import StorageLevel
 
     sigs = signature_buckets(
         df, id_col, emb_col, dim, n_bands, band_bits, seed, include_emb=True,
-        emb_binary=emb_binary,
+        emb_binary=emb_binary, emb_dtype=emb_dtype,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _SIG_CACHES.append(sigs)
     return sigs
@@ -215,6 +234,7 @@ def lsh_candidates(
     seed: int = 1234,
     max_bucket_rows: int = 5_000,
     min_sim: float | None = None,
+    emb_dtype: str = "f32",
 ) -> DataFrame:
     """Self-join candidate generation: -> (l_id, r_id, sim, rank), rank<=k
     per l_id, l_id != r_id, deterministic (sim desc, r_id asc) tie-break.
@@ -222,6 +242,10 @@ def lsh_candidates(
     Buckets larger than ``max_bucket_rows`` are deterministically salt-split
     so no task's cross-product exceeds max_bucket_rows^2; use
     ``bucket_stats`` to monitor the size distribution.
+
+    ``emb_dtype='f16'`` halves the kernel exchange's bytes by quantizing
+    the carried vector (see ``signature_buckets``); bucket membership is
+    unchanged, in-bucket scores carry ~1e-3 quantization error.
     """
     # Skew handling: oversized (hot) buckets are SALT-SPLIT, not truncated —
     # rows in a bucket bigger than max_bucket_rows get a deterministic
@@ -239,7 +263,7 @@ def lsh_candidates(
     # embedding rides the signature frame, so there is NO join back to the
     # source table — the only big shuffle is groupBy(band, bucket, salt).
     sigs = _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed,
-                           emb_binary=True)
+                           emb_binary=True, emb_dtype=emb_dtype)
     over_rows = _oversized_buckets(
         sigs, max_bucket_rows, ["band", "bucket", "_splits"]
     )
@@ -282,7 +306,8 @@ def lsh_candidates(
         # per-group applyInPandas)
         ids_all = pdf[id_col].to_numpy()
         buf = b"".join(pdf["_emb"].to_numpy())
-        x_all = np.frombuffer(buf, dtype=np.float32).reshape(len(pdf), -1)
+        dt = np.float16 if emb_dtype == "f16" else np.float32
+        x_all = np.frombuffer(buf, dtype=dt).reshape(len(pdf), -1)
         x_all = normalize_rows(np.nan_to_num(x_all.astype(np.float64)))
         out_l, out_r, out_s = [], [], []
         for a, b in group_slices(pdf, ["band", "bucket", "salt"]):
@@ -346,6 +371,7 @@ def lsh_candidates_dyadic(
     seed: int = 1234,
     max_bucket_rows: int = 5_000,
     min_sim: float | None = None,
+    emb_dtype: str = "f32",
 ) -> DataFrame:
     """Dyadic (left-vs-right) LSH candidate generation — the scale path for
     the reference's two-table blocking. Both sides get signatures from the
@@ -370,9 +396,9 @@ def lsh_candidates_dyadic(
     # list is tiny by construction; when empty (healthy case) both salts are
     # literal 0 and the plan has neither a join nor an explode.
     l_sigs = _persisted_sigs(left, l_id, emb_col, dim, n_bands, band_bits, seed,
-                             emb_binary=True)
+                             emb_binary=True, emb_dtype=emb_dtype)
     r_sigs = _persisted_sigs(right, r_id, emb_col, dim, n_bands, band_bits, seed,
-                             emb_binary=True)
+                             emb_binary=True, emb_dtype=emb_dtype)
     grid: dict[tuple[int, int], list[int]] = {}
     for row in _oversized_buckets(l_sigs, max_bucket_rows, ["band", "bucket", "_splits"]):
         grid[(row["band"], row["bucket"])] = [row["_splits"], 1]
@@ -434,7 +460,8 @@ def lsh_candidates_dyadic(
     def buckets_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids_all = pdf["_id"].to_numpy()
         buf = b"".join(pdf["_emb"].to_numpy())
-        x_all = np.frombuffer(buf, dtype=np.float32).reshape(len(pdf), -1)
+        dt = np.float16 if emb_dtype == "f16" else np.float32
+        x_all = np.frombuffer(buf, dtype=dt).reshape(len(pdf), -1)
         x_all = normalize_rows(np.nan_to_num(x_all.astype(np.float64)))
         side_all = pdf["_side"].to_numpy()
         out_l, out_r, out_s = [], [], []
@@ -485,10 +512,12 @@ class LSHVectorPairing:
 
     def __init__(self, k: int = 50, dim: int = 300, n_bands: int = 8,
                  band_bits: int = 12, seed: int = 1234,
-                 max_bucket_rows: int = 5_000, min_sim: float | None = None):
+                 max_bucket_rows: int = 5_000, min_sim: float | None = None,
+                 emb_dtype: str = "f32"):
         self.k, self.dim = k, dim
         self.n_bands, self.band_bits, self.seed = n_bands, band_bits, seed
         self.max_bucket_rows, self.min_sim = max_bucket_rows, min_sim
+        self.emb_dtype = emb_dtype
         self.exclude_self = True  # LSH self-join never emits self-pairs
 
     def index(self, right: DataFrame, r_id: str = "id", emb_col: str = EMBEDDING):
@@ -508,10 +537,10 @@ class LSHVectorPairing:
             return lsh_candidates(
                 self._right, self._r_id, emb_col or self._emb, self.dim, self.k,
                 self.n_bands, self.band_bits, self.seed, self.max_bucket_rows,
-                self.min_sim,
+                self.min_sim, self.emb_dtype,
             )
         return lsh_candidates_dyadic(
             left, self._right, l_id, self._r_id, emb_col or self._emb, self.dim,
             self.k, self.n_bands, self.band_bits, self.seed, self.max_bucket_rows,
-            self.min_sim,
+            self.min_sim, self.emb_dtype,
         )

@@ -356,6 +356,7 @@ def run_blocking_pipeline(
                 k=k, dim=cfg.emb_dim, n_bands=cfg.lsh_n_bands,
                 band_bits=cfg.lsh_band_bits, seed=cfg.random_seed,
                 max_bucket_rows=cfg.lsh_max_bucket_rows,
+                emb_dtype=cfg.lsh_emb_dtype,
             )
         else:  # ivf
             from deepblocker_spark.operators.ann import ivf_topk
@@ -378,7 +379,8 @@ def run_blocking_pipeline(
         parents=["embeddings"], force=force,
         params={"k": k, "pairing": mode, "random_seed": cfg.random_seed,
                 "lsh": [cfg.lsh_n_bands, cfg.lsh_band_bits,
-                        cfg.lsh_max_bucket_rows] if mode == "lsh" else None,
+                        cfg.lsh_max_bucket_rows,
+                        cfg.lsh_emb_dtype] if mode == "lsh" else None,
                 "ivf": [cfg.ivf_n_cells, cfg.ivf_nprobe] if mode == "ivf" else None},
         layout=("l_id", n_part),
     )
