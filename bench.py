@@ -57,13 +57,15 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "16")
 # 100 TB scale path — not the small-scale exact-oracle path.
 SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "240000"))
 
-# minhash_pairs / ngram_jaccard — and their round-3 consumers
-# cand_jw_scores / tfidf_cosine, which re-score that candidate set — are
+# minhash_pairs / ngram_jaccard — and their consumers cand_jw_scores /
+# tfidf_cosine (round 3) and prefix_jaccard / ensemble_blocking /
+# mutual_best_match (round 4), which build on the same candidate set — are
 # excluded here: the synthetic documents table has a ~31-word vocabulary, so
-# ~8% of ALL doc pairs are >=0.9 Jaccard and the candidate set degenerates
-# to near-quadratic — a data pathology, not an operator property. They
-# remain in the sf0.01 correctness gate; the Jaro-Winkler scoring kernel has
-# its own 100k-pair microbench below (scoring_jw).
+# ~8% of ALL doc pairs are >=0.9 Jaccard and the TRUE result set (not the
+# operator's pruning) degenerates to near-quadratic — a data pathology, not
+# an operator property. They remain in the sf0.01 correctness gate; the
+# Jaro-Winkler scoring kernel has its own 100k-pair microbench below
+# (scoring_jw).
 BENCH_QUERIES = [
     "flagship_blocking",
     "topk_cosine",

@@ -166,6 +166,32 @@ def main() -> None:
     )
     qs["meta_blocking"] = m.queries()["meta_blocking"]
 
+    # Prefix-filtered Jaccard join (round 4): the inverted index must hold
+    # only prefixes (row_number window over the per-doc rarity order), the
+    # shingle frequency comes from a hash agg (map-side combine), candidate
+    # verification joins arrays per candidate pair — and nothing in the
+    # plan is a cartesian product. Scan pruned to (doc_id, text).
+    audits["prefix_jaccard"] = (
+        ["!CartesianProduct", "Window", "HashAggregate",
+         "ReadSchema: struct<doc_id:bigint,text:string>"],
+        "prefix selection is a per-doc window over (doc_freq, shingle); "
+        "global shingle frequencies via partial+final hash agg; candidate "
+        "join + array_intersect verification only — no cartesian anywhere; "
+        "scan pruned to (doc_id, text)",
+    )
+    qs["prefix_jaccard"] = m.queries()["prefix_jaccard"]
+
+    # One-to-one matching round 1 (round 4): the symmetric-best filter is
+    # one node-keyed window over the doubled edge list plus a count==2
+    # hash agg on the edge key — no join back to any table, no cartesian.
+    audits["mutual_best_match"] = (
+        ["!CartesianProduct", "Window", "HashAggregate", "Union"],
+        "directed view is a union (no shuffle), per-node best via a single "
+        "node-keyed window exchange, mutual check via count==2 hash agg on "
+        "the edge key — no join back to the source table",
+    )
+    qs["mutual_best_match"] = m.queries()["mutual_best_match"]
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
