@@ -419,6 +419,25 @@ def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # field-level survivorship: each golden-record column fused by its own
+    # rule (text: longest, lang: most-frequent, n_chars: max, source: value
+    # at smallest member id) — one groupBy(component) agg via struct
+    # extrema + one count-argmax pass for the mode column. Full value
+    # oracle.
+    from deepblocker_spark.operators.cluster import fuse_clusters
+
+    clusters = q_cc_components(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text", "lang", "n_chars", "source"
+    )
+    return fuse_clusters(
+        clusters, docs,
+        {"text": "longest", "lang": "mode", "n_chars": "max",
+         "source": "first"},
+    )
+
+
 def q_golden_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O28-O30: filter labeled splits to label==1, union, project
     orders = _t(spark, sf_dir, "orders").select(
@@ -781,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
+        "cluster_fusion": q_cluster_fusion,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
         "mktsegment_orders": q_mktsegment_orders,
@@ -1149,6 +1169,54 @@ from directed d join thresholds t on d.node = t.node
 where weight >= meanw - 1e-9
 """
 
+    # field-level survivorship oracle: same deterministic tie-breaks as the
+    # engine (longest: greatest length then greatest value, NULLs lose;
+    # mode: most frequent then smallest value over non-NULLs; first: value
+    # at the smallest member id, NULL allowed; max: plain extremum).
+    fusion_sql = f"""
+with j as (
+  select c.component, c.id, d.text, d.lang, d.n_chars, d.source
+  from ({cc_sql}) c join documents d on c.id = d.doc_id
+),
+base as (
+  select component, count(*)::BIGINT as n_members, max(n_chars) as n_chars
+  from j group by component
+),
+lt as (
+  select component, text from (
+    select component, text,
+           row_number() over (
+             partition by component
+             order by len(text) desc, text desc
+           ) as rn
+    from j where text is not null
+  ) where rn = 1
+),
+md as (
+  select component, lang from (
+    select component, lang,
+           row_number() over (
+             partition by component
+             order by count(*) desc, lang asc
+           ) as rn
+    from j where lang is not null
+    group by component, lang
+  ) where rn = 1
+),
+fs as (
+  select component, source from (
+    select component, source,
+           row_number() over (partition by component order by id asc) as rn
+    from j
+  ) where rn = 1
+)
+select b.component, b.n_members, lt.text, md.lang, b.n_chars, fs.source
+from base b
+left join lt using (component)
+left join md using (component)
+left join fs using (component)
+"""
+
     canonical_sql = f"""
 select component, id as canonical_id, n_members, n_chars
 from (
@@ -1284,6 +1352,7 @@ select th.threshold,
 from th left join hits using (threshold) cross join ng
 """,
         "cluster_canonical": canonical_sql,
+        "cluster_fusion": fusion_sql,
         "golden_etl": """
 select o_custkey as ltable_id, o_orderkey as rtable_id
 from orders

@@ -206,3 +206,80 @@ def clusters_to_pairs(clusters: DataFrame) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "component")
     )
+
+
+def fuse_clusters(
+    clusters: DataFrame,
+    records: DataFrame,
+    rules: dict[str, str],
+    id_col: str = "id",
+) -> DataFrame:
+    """Field-level survivorship: -> (component, n_members, <one column per
+    rule>). Where ``canonical_records`` picks ONE member row wholesale,
+    this fuses each output column independently by its own rule — the
+    golden record a master-data pipeline actually publishes (different
+    fields trust different sources):
+
+      'longest'  the value with the greatest string length
+                 (tie: greatest value — struct-max, fully deterministic);
+      'max'/'min' plain extrema;
+      'mode'     the most frequent value (tie: smallest value);
+      'first'    the value of the smallest member id.
+
+    Plan shape: one clusters><records join, then ONE groupBy(component)
+    hash aggregation computes every non-mode rule via order-encoding
+    struct extrema (max_by/min_by semantics with explicit deterministic
+    tie-breaks — no per-rule window shuffles). Each 'mode' column adds one
+    (component, value) count agg + a window argmax, joined back on
+    component; modes are the only rules that fundamentally need the extra
+    pass. NULL values lose to non-NULL under every rule (structs with the
+    ordering key first; Spark sorts NULL first for max-structs only when
+    the whole struct is NULL — value-first encodings below handle it)."""
+    from pyspark.sql import Window
+
+    known = {"longest", "max", "min", "mode", "first"}
+    bad = {r for r in rules.values() if r not in known}
+    if bad:
+        raise ValueError(f"unknown survivorship rule(s): {sorted(bad)}")
+    rec = (
+        records.withColumnRenamed(id_col, "id") if id_col != "id" else records
+    )
+    joined = clusters.join(rec, "id")
+
+    aggs = [F.count("*").cast("long").alias("n_members")]
+    for col, rule in rules.items():
+        if rule == "longest":
+            aggs.append(
+                F.max(F.struct(
+                    F.length(col).alias("_l"), F.col(col).alias("_v")
+                )).getField("_v").alias(col)
+            )
+        elif rule == "max":
+            aggs.append(F.max(col).alias(col))
+        elif rule == "min":
+            aggs.append(F.min(col).alias(col))
+        elif rule == "first":
+            aggs.append(
+                F.min(F.struct(F.col("id").alias("_i"), F.col(col).alias("_v")))
+                .getField("_v").alias(col)
+            )
+    out = joined.groupBy("component").agg(*aggs)
+
+    for col, rule in rules.items():
+        if rule != "mode":
+            continue
+        counts = (
+            joined.filter(F.col(col).isNotNull())
+            .groupBy("component", col)
+            .agg(F.count("*").alias("_c"))
+        )
+        w = Window.partitionBy("component").orderBy(
+            F.col("_c").desc(), F.col(col).asc()
+        )
+        winner = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("component", col)
+        )
+        out = out.join(winner, "component", "left")
+    return out
