@@ -380,6 +380,26 @@ def q_meta_blocking_wnp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_blocking_pairs(blocks, ratio=0.5, scheme="ECBS", prune="WNP")
 
 
+def q_meta_blocking_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clean-clean (two-table) meta-blocking — the reference's primary call
+    # shape (block_datasets(left, right)) over token blocking: documents
+    # split by doc_id parity, union block sizes, per-side filtering,
+    # CROSS-TABLE pairs only, ECBS + WEP. Full value oracle.
+    from deepblocker_spark.operators.metablocking import (
+        meta_blocking_pairs_dyadic,
+        token_blocks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    left = docs.filter(F.col("doc_id") % 2 == 0)
+    right = docs.filter(F.col("doc_id") % 2 == 1)
+    return meta_blocking_pairs_dyadic(
+        token_blocks(left, text_col="text", id_col="doc_id"),
+        token_blocks(right, text_col="text", id_col="doc_id"),
+        ratio=0.5, scheme="ECBS", prune="WEP",
+    )
+
+
 def q_mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one-to-one matching round 1: minhash candidates scored by exact
     # jaccard, keep pairs that are BOTH endpoints' best edge under the
@@ -796,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_blocking": q_meta_blocking,
         "meta_blocking_cnp": q_meta_blocking_cnp,
         "meta_blocking_wnp": q_meta_blocking_wnp,
+        "meta_blocking_dyadic": q_meta_blocking_dyadic,
         "mutual_best_match": q_mutual_best_match,
         "sorted_neighborhood": q_sorted_neighborhood,
         "pr_sweep": q_pr_sweep,
@@ -1151,6 +1172,48 @@ ranked as (
 select distinct a, b, cbs, weight from ranked where rn <= 5
 """
 
+    # clean-clean dyadic: union block sizes, per-(side, id) filtering,
+    # cross-side pairs only, per-side entity block counts; ECBS + WEP with
+    # the same rounding and epsilon discipline.
+    meta_blocking_dyadic_sql = f"""
+with blocks as (
+  select distinct doc_id as id, tok as block_key, doc_id % 2 as side
+  from (select doc_id, unnest({_TOKS}) as tok from documents)
+),
+bsizes as (
+  select block_key, count(*) as block_size from blocks group by block_key
+),
+filtered as (
+  select id, block_key, side from (
+    select b.id, b.block_key, b.side,
+           row_number() over (
+             partition by b.side, b.id
+             order by s.block_size asc, b.block_key asc
+           ) as rn,
+           count(*) over (partition by b.side, b.id) as nb
+    from blocks b join bsizes s using (block_key)
+  ) where rn <= ceil(0.5 * nb)
+),
+ent as (select side, id, count(*)::BIGINT as nb from filtered group by side, id),
+tot as (select count(distinct block_key)::DOUBLE as total from filtered),
+co as (
+  select l.id as a, r.id as b, count(*)::BIGINT as cbs
+  from filtered l join filtered r on l.block_key = r.block_key
+  where l.side = 0 and r.side = 1
+  group by l.id, r.id
+),
+weighted as (
+  select a, b, cbs,
+         round(cbs * ln(total / ea.nb) * ln(total / eb.nb), 9) as weight
+  from co
+  join ent ea on ea.side = 0 and co.a = ea.id
+  join ent eb on eb.side = 1 and co.b = eb.id
+  cross join tot
+),
+m as (select avg(weight) as meanw from weighted)
+select a, b, cbs, weight from weighted, m where weight >= meanw - 1e-9
+"""
+
     # WNP: per-node mean weight as the local threshold — both directions,
     # avg over each node's edges, keep an edge clearing EITHER endpoint's
     # mean (same - 1e-9 epsilon guard as WEP); distinct collapses the two
@@ -1292,6 +1355,7 @@ from documents group by lang, source having count(*) > 8
         "meta_blocking": meta_blocking_sql,
         "meta_blocking_cnp": meta_blocking_cnp_sql,
         "meta_blocking_wnp": meta_blocking_wnp_sql,
+        "meta_blocking_dyadic": meta_blocking_dyadic_sql,
         "mutual_best_match": f"""
 with edges as ({minhash_pairs_sql}),
 directed as (

@@ -258,3 +258,151 @@ def meta_blocking_pairs(
     return weighted.crossJoin(F.broadcast(mean)).filter(
         F.col("weight") >= F.col("_mean") - F.lit(1e-9)
     ).select("a", "b", "cbs", "weight")
+
+
+def meta_blocking_pairs_dyadic(
+    l_blocks: DataFrame,
+    r_blocks: DataFrame,
+    ratio: float = 0.5,
+    scheme: str = "ECBS",
+    prune: str = "WEP",
+    max_block_rows: int | None = None,
+    id_col: str = "id",
+    key_col: str = "block_key",
+    cnp_k: int = 10,
+) -> DataFrame:
+    """Clean-clean (two-table) meta-blocking — the reference's primary call
+    shape (`/root/reference/deep_blocker.py:48`: block_datasets(left,
+    right)) applied to token blocking. -> (a, b, cbs, weight) where ``a``
+    is ALWAYS a left-table id and ``b`` a right-table id; only cross-table
+    co-occurrence is weighted or pruned (intra-table redundancy still
+    counts toward block sizes and entity block counts, as in the
+    dirty-collection formulation).
+
+    Definitions (documented choices, mirrored by the oracle): block sizes
+    for filtering are counted over the UNION of both tables (a block hot on
+    either side is uninformative for both); |B| is the distinct filtered
+    key count over the union; |B_e| is per entity within its own table.
+    Ids may collide across tables — every internal step carries a side
+    marker, and the output pair key is (left id, right id), not a < b.
+
+    Same plan shape as the self-join variant: the only wide operations are
+    the block-size agg, the per-entity filtering window, the cross-side
+    join on the block key, and (for CNP/WNP) one node-keyed exchange where
+    the node key is (side, id)."""
+    if scheme not in SCHEMES:
+        raise ValueError(f"unknown weighting scheme: {scheme!r} (use {SCHEMES})")
+    if prune not in ("WEP", "CNP", "WNP", "none"):
+        raise ValueError(
+            f"unknown prune mode: {prune!r} (use 'WEP', 'CNP', 'WNP' or 'none')"
+        )
+    both = l_blocks.select(
+        F.col(id_col).alias("id"), F.col(key_col).alias("block_key"),
+        F.lit(0).alias("_side"),
+    ).unionByName(
+        r_blocks.select(
+            F.col(id_col).alias("id"), F.col(key_col).alias("block_key"),
+            F.lit(1).alias("_side"),
+        )
+    )
+    # block filtering over the union; the per-entity window partitions by
+    # (side, id) so colliding ids across tables stay distinct entities
+    w_ent = Window.partitionBy("_side", "id").orderBy(
+        F.col("block_size").asc(), F.col("block_key").asc()
+    )
+    w_ent_all = Window.partitionBy("_side", "id")
+    sizes = both.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    filtered = _mb_persist(
+        both.join(sizes, "block_key")
+        .withColumn("_rn", F.row_number().over(w_ent))
+        .withColumn("_nb", F.count("*").over(w_ent_all))
+        .filter(F.col("_rn") <= F.ceil(F.lit(float(ratio)) * F.col("_nb")))
+        .select("id", "block_key", "_side")
+    )
+    if max_block_rows is not None:
+        kept = (
+            filtered.groupBy("block_key")
+            .agg(F.count("*").alias("_fsize"))
+            .filter(F.col("_fsize") <= max_block_rows)
+            .select("block_key")
+        )
+        filtered = filtered.join(kept, "block_key")
+    ent = filtered.groupBy("_side", "id").agg(
+        F.count("*").cast("long").alias("_nb")
+    )
+    total = filtered.agg(
+        F.count_distinct("block_key").cast("double").alias("_total")
+    )
+    l = filtered.filter(F.col("_side") == 0).select(
+        F.col("id").alias("a"), "block_key"
+    )
+    r = filtered.filter(F.col("_side") == 1).select(
+        F.col("id").alias("b"), "block_key"
+    )
+    co = (
+        l.join(r, "block_key")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("cbs"))
+    )
+    pairs = (
+        co.join(
+            ent.filter(F.col("_side") == 0)
+            .select(F.col("id").alias("a"), F.col("_nb").alias("_na")),
+            "a",
+        )
+        .join(
+            ent.filter(F.col("_side") == 1)
+            .select(F.col("id").alias("b"), F.col("_nb").alias("_nbb")),
+            "b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    if scheme == "CBS":
+        weight = F.col("cbs").cast("double")
+    elif scheme == "ECBS":
+        weight = (
+            F.col("cbs")
+            * F.log(F.col("_total") / F.col("_na"))
+            * F.log(F.col("_total") / F.col("_nbb"))
+        )
+    else:  # JS
+        weight = F.col("cbs") / (F.col("_na") + F.col("_nbb") - F.col("cbs"))
+    weighted = pairs.select("a", "b", "cbs", F.round(weight, 9).alias("weight"))
+    if prune == "none":
+        return weighted
+    weighted = _mb_persist(weighted)
+    if prune in ("CNP", "WNP"):
+        # bipartite directed view: left nodes rank/average their right
+        # neighbors and vice versa; node key is (side, id)
+        directed = weighted.select(
+            F.lit(0).alias("_ns"), F.col("a").alias("_node"),
+            F.col("b").alias("_nbr"), "a", "b", "cbs", "weight",
+        ).unionByName(
+            weighted.select(
+                F.lit(1).alias("_ns"), F.col("b").alias("_node"),
+                F.col("a").alias("_nbr"), "a", "b", "cbs", "weight",
+            )
+        )
+        if prune == "CNP":
+            w_node = Window.partitionBy("_ns", "_node").orderBy(
+                F.col("weight").desc(), F.col("_nbr").asc()
+            )
+            return (
+                directed.withColumn("_rn", F.row_number().over(w_node))
+                .filter(F.col("_rn") <= cnp_k)
+                .select("a", "b", "cbs", "weight")
+                .dropDuplicates(["a", "b"])
+            )
+        node_mean = directed.groupBy("_ns", "_node").agg(
+            F.avg("weight").alias("_mean")
+        )
+        return (
+            directed.join(node_mean, ["_ns", "_node"])
+            .filter(F.col("weight") >= F.col("_mean") - F.lit(1e-9))
+            .select("a", "b", "cbs", "weight")
+            .dropDuplicates(["a", "b"])
+        )
+    mean = weighted.agg(F.avg("weight").alias("_mean"))
+    return weighted.crossJoin(F.broadcast(mean)).filter(
+        F.col("weight") >= F.col("_mean") - F.lit(1e-9)
+    ).select("a", "b", "cbs", "weight")

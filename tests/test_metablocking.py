@@ -234,3 +234,123 @@ def test_invalid_args_raise(spark):
         meta_blocking_pairs(df, scheme="nope")
     with pytest.raises(ValueError):
         meta_blocking_pairs(df, prune="nope")
+
+
+def _python_meta_dyadic(rows_l, rows_r, ratio, scheme):
+    """Independent clean-clean recomputation: union block sizes, per-side
+    filtering, cross-side pairs only."""
+    from collections import defaultdict
+
+    sizes = defaultdict(int)
+    for _, k in rows_l + rows_r:
+        sizes[k] += 1
+    kept = {0: [], 1: []}
+    for side, rows in ((0, rows_l), (1, rows_r)):
+        per_ent = defaultdict(list)
+        for e, k in rows:
+            per_ent[e].append(k)
+        for e, keys in per_ent.items():
+            keys = sorted(set(keys), key=lambda k: (sizes[k], k))
+            kept[side].extend(
+                (e, k) for k in keys[: math.ceil(ratio * len(keys))]
+            )
+    nb = {0: defaultdict(int), 1: defaultdict(int)}
+    keys_in_filtered = set()
+    posting = {0: defaultdict(set), 1: defaultdict(set)}
+    for side in (0, 1):
+        for e, k in kept[side]:
+            nb[side][e] += 1
+            keys_in_filtered.add(k)
+            posting[side][k].add(e)
+    total = float(len(keys_in_filtered))
+    cbs = defaultdict(int)
+    for k in keys_in_filtered:
+        for a in posting[0].get(k, ()):
+            for b in posting[1].get(k, ()):
+                cbs[(a, b)] += 1
+    out = {}
+    for (a, b), c in cbs.items():
+        if scheme == "CBS":
+            w = float(c)
+        elif scheme == "ECBS":
+            w = c * math.log(total / nb[0][a]) * math.log(total / nb[1][b])
+        else:
+            w = c / (nb[0][a] + nb[1][b] - c)
+        out[(a, b)] = (c, round(w, 9))
+    return out
+
+
+# right table reuses ids 1..4 on purpose: cross-table id collisions must
+# stay distinct entities
+RX_ROWS = [
+    (1, "rare"), (1, "mid"), (2, "mid"), (2, "hot"),
+    (3, "hot"), (3, "other"), (4, "hot"), (4, "solo"), (4, "rx"),
+]
+
+
+def test_dyadic_weighting_matches_recomputation(spark):
+    from deepblocker_spark.operators.metablocking import meta_blocking_pairs_dyadic
+
+    ldf = _blocks_df(spark, EX_ROWS)
+    rdf = _blocks_df(spark, RX_ROWS)
+    for scheme in ("CBS", "ECBS", "JS"):
+        got = {
+            (r["a"], r["b"]): (r["cbs"], r["weight"])
+            for r in meta_blocking_pairs_dyadic(
+                ldf, rdf, ratio=1.0, scheme=scheme, prune="none"
+            ).collect()
+        }
+        assert got == _python_meta_dyadic(EX_ROWS, RX_ROWS, 1.0, scheme), scheme
+
+
+def test_dyadic_filtering_and_wep(spark):
+    from deepblocker_spark.operators.metablocking import meta_blocking_pairs_dyadic
+
+    ldf = _blocks_df(spark, EX_ROWS)
+    rdf = _blocks_df(spark, RX_ROWS)
+    unpruned = _python_meta_dyadic(EX_ROWS, RX_ROWS, 0.5, "ECBS")
+    mean = sum(w for _, w in unpruned.values()) / len(unpruned)
+    want = {k: v for k, v in unpruned.items() if v[1] >= mean - 1e-9}
+    got = {
+        (r["a"], r["b"]): (r["cbs"], r["weight"])
+        for r in meta_blocking_pairs_dyadic(
+            ldf, rdf, ratio=0.5, scheme="ECBS", prune="WEP"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dyadic_cnp_bipartite_ranks(spark):
+    from deepblocker_spark.operators.metablocking import meta_blocking_pairs_dyadic
+    from collections import defaultdict
+
+    ldf = _blocks_df(spark, EX_ROWS)
+    rdf = _blocks_df(spark, RX_ROWS)
+    unpruned = _python_meta_dyadic(EX_ROWS, RX_ROWS, 1.0, "ECBS")
+    per_node = defaultdict(list)
+    for (a, b), (_, w) in unpruned.items():
+        per_node[(0, a)].append((w, b, (a, b)))
+        per_node[(1, b)].append((w, a, (a, b)))
+    keep = set()
+    for edges in per_node.values():
+        edges.sort(key=lambda t: (-t[0], t[1]))
+        keep.update(e for _, _, e in edges[:2])
+    want = {e: unpruned[e] for e in keep}
+    got = {
+        (r["a"], r["b"]): (r["cbs"], r["weight"])
+        for r in meta_blocking_pairs_dyadic(
+            ldf, rdf, ratio=1.0, scheme="ECBS", prune="CNP", cnp_k=2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dyadic_pairs_are_cross_side_only(spark):
+    from deepblocker_spark.operators.metablocking import meta_blocking_pairs_dyadic
+
+    # identical tables: every pair must be (left id, right id) — including
+    # the identity pairs (e, e); no intra-table pair can appear
+    ldf = _blocks_df(spark, EX_ROWS)
+    got = meta_blocking_pairs_dyadic(ldf, ldf, ratio=1.0, prune="none").collect()
+    assert len(got) > 0
+    assert any(r["a"] == r["b"] for r in got)  # cross-table identity pairs
