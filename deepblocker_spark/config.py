@@ -64,7 +64,9 @@ class BlockerConfig:
     # bytes is directly wall time (BASELINE.md protocol v5). Operator-level
     # call sites (driver oracle queries, ann.py) default to 'f32' so
     # hash-locked outputs stay bit-identical; this config knob governs the
-    # production pipeline + bench scale path.
+    # production pipeline + bench scale path. The IVF pipeline path applies
+    # the same knob to its probed-cell exchange (cell membership computed
+    # pre-pack, so membership is dtype-independent there too).
     lsh_emb_dtype: str = "f16"
     # None = auto-size n_cells to ~sqrt(N) from the embeddings manifest row
     # count (a fixed cell count degenerates as the corpus grows); set an int

@@ -101,24 +101,37 @@ def _assign_cells(
     nprobe: int,
     emit_home: bool,
     emit_probes: bool,
+    emb_dtype: str = "f32",
 ):
     """Cell assignment as a vectorized mapInPandas pass: every row gets its
     home cell (role 0 = index row) and/or its ``nprobe`` closest cells
     (role 1 = query row). Self-search emits both from ONE scan; dyadic
-    search runs this once per side."""
+    search runs this once per side.
+
+    The carried vector travels as ONE little-endian binary blob per row
+    (same transport as lsh.signature_buckets, round 4): the row<->Arrow
+    LIST conversion of wide array columns dominated the LSH exchange
+    stages' JVM CPU, a BinaryType column moves as a memcpy, and the
+    nprobe-way duplication shares the same immutable bytes objects.
+    ``emb_dtype='f32'`` is bit-identical to the previous array transport;
+    'f16' halves the exchange bytes (cell assignment is computed from the
+    full-precision vector BEFORE packing, so cell membership is identical
+    — only in-cell scores see ~1e-3 quantization error)."""
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 
     from deepblocker_spark.operators.topk import normalize_rows
 
+    if emb_dtype not in ("f32", "f16"):
+        raise ValueError(f"unknown emb_dtype: {emb_dtype!r} (use 'f32' or 'f16')")
     id_type = df.select(id_col).schema.fields[0].dataType
     assign_schema = StructType(
         [
             StructField("_id", id_type, True),
             StructField("cell", IntegerType(), False),
             StructField("_role", IntegerType(), False),
-            StructField("_emb", df.schema[emb_col].dataType, True),
+            StructField("_emb", BinaryType(), True),
         ]
     )
 
@@ -127,7 +140,8 @@ def _assign_cells(
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = normalize_rows(np.nan_to_num(np.stack(pdf[emb_col].to_numpy()).astype(np.float64)))
+            x_arr = np.stack(pdf[emb_col].to_numpy())
+            x = normalize_rows(np.nan_to_num(x_arr.astype(np.float64)))
             sims = x @ c.T
             p = min(nprobe, sims.shape[1])
             n = len(pdf)
@@ -152,7 +166,13 @@ def _assign_cells(
                     "_role": np.concatenate(out_role),
                 }
             )
-            frame["_emb"] = list(pdf[emb_col]) * copies
+            xq = x_arr.astype(
+                np.float16 if emb_dtype == "f16" else np.float32, copy=False
+            )
+            raw = xq.tobytes()
+            stride = xq.shape[1] * xq.dtype.itemsize
+            blobs = [raw[i * stride : (i + 1) * stride] for i in range(n)]
+            frame["_emb"] = blobs * copies
             yield frame
 
     return df.select(id_col, emb_col).mapInPandas(assign, assign_schema)
@@ -184,6 +204,7 @@ def _ivf_pairs(
     id_type,
     mask_equal_ids: bool,
     max_cell_rows: int = 5_000,
+    emb_dtype: str = "f32",
 ) -> DataFrame:
     """Probed-cell exact search over the union of role-tagged assignments.
     Two shuffles total: one on (cell, salt_q, salt_i) (sort-based grouped
@@ -281,6 +302,12 @@ def _ivf_pairs(
         cell)."""
         outs = []
         roles = pdf["_role"].to_numpy()
+        # whole-frame binary decode (one memcpy), slices per group — the
+        # same shape as the LSH kernel; no per-row LIST conversion
+        buf = b"".join(pdf["_emb"].to_numpy())
+        dt = np.float16 if emb_dtype == "f16" else np.float32
+        x_all = np.frombuffer(buf, dtype=dt).reshape(len(pdf), -1)
+        x_all = normalize_rows(np.nan_to_num(x_all.astype(np.float64)))
         for a, b in group_slices(pdf, ["cell", "salt_q", "salt_i"]):
             g_roles = roles[a:b]
             q_idx = np.nonzero(g_roles == 1)[0] + a
@@ -289,10 +316,8 @@ def _ivf_pairs(
                 continue
             qids = pdf["_id"].to_numpy()[q_idx]
             iids = pdf["_id"].to_numpy()[i_idx]
-            qx = normalize_rows(np.nan_to_num(
-                np.stack(pdf["_emb"].iloc[q_idx].to_numpy()).astype(np.float64)))
-            ix = normalize_rows(np.nan_to_num(
-                np.stack(pdf["_emb"].iloc[i_idx].to_numpy()).astype(np.float64)))
+            qx = x_all[q_idx]
+            ix = x_all[i_idx]
             sims = qx @ ix.T
             if mask_equal_ids:
                 sims[qids[:, None] == iids[None, :]] = -np.inf
@@ -331,6 +356,7 @@ def ivf_topk(
     seed: int = 1234,
     max_cell_rows: int = 5_000,
     rows_hint: int | None = None,
+    emb_dtype: str = "f32",
 ) -> DataFrame:
     """IVF-flat approximate top-k SELF-search: assign every vector to its
     nearest centroid cell, probe each query's ``nprobe`` closest cells, and
@@ -351,10 +377,11 @@ def ivf_topk(
     cents = _train_centroids(df, id_col, emb_col, n_cells, seed)
     cents_bc = spark.sparkContext.broadcast(cents)
     assigned = _assign_cells(df, id_col, emb_col, cents_bc, nprobe,
-                             emit_home=True, emit_probes=True)
+                             emit_home=True, emit_probes=True,
+                             emb_dtype=emb_dtype)
     id_type = df.select(id_col).schema.fields[0].dataType
     return _ivf_pairs(assigned, k, id_type, mask_equal_ids=True,
-                      max_cell_rows=max_cell_rows)
+                      max_cell_rows=max_cell_rows, emb_dtype=emb_dtype)
 
 
 def ivf_topk_join(
@@ -369,6 +396,7 @@ def ivf_topk_join(
     seed: int = 1234,
     max_cell_rows: int = 5_000,
     rows_hint: int | None = None,
+    emb_dtype: str = "f32",
 ) -> DataFrame:
     """Dyadic IVF-flat: centroids train on the INDEX side (right), right
     rows land in their home cell only, every left query probes its
@@ -395,11 +423,14 @@ def ivf_topk_join(
     cents = _train_centroids(right, r_id, emb_col, n_cells, seed)
     cents_bc = spark.sparkContext.broadcast(cents)
     index = _assign_cells(right, r_id, emb_col, cents_bc, nprobe,
-                          emit_home=True, emit_probes=False)
+                          emit_home=True, emit_probes=False,
+                          emb_dtype=emb_dtype)
     queries = _assign_cells(left, l_id, emb_col, cents_bc, nprobe,
-                            emit_home=False, emit_probes=True)
+                            emit_home=False, emit_probes=True,
+                            emb_dtype=emb_dtype)
     return _ivf_pairs(index.unionByName(queries), k, l_type,
-                      mask_equal_ids=False, max_cell_rows=max_cell_rows)
+                      mask_equal_ids=False, max_cell_rows=max_cell_rows,
+                      emb_dtype=emb_dtype)
 
 
 class IVFVectorPairing:
@@ -409,9 +440,11 @@ class IVFVectorPairing:
     (train-on-index, probe-from-query) otherwise."""
 
     def __init__(self, k: int = 50, n_cells: int | None = 16, nprobe: int = 3,
-                 seed: int = 1234, max_cell_rows: int = 5_000):
+                 seed: int = 1234, max_cell_rows: int = 5_000,
+                 emb_dtype: str = "f32"):
         self.k, self.n_cells, self.nprobe, self.seed = k, n_cells, nprobe, seed
         self.max_cell_rows = max_cell_rows
+        self.emb_dtype = emb_dtype
         self.exclude_self = True  # self mode never emits self-pairs
 
     def index(self, right: DataFrame, r_id: str = "id", emb_col: str = "embedding"):
@@ -433,13 +466,13 @@ class IVFVectorPairing:
                 self._right, k=self.k, id_col=self._r_id,
                 emb_col=emb_col or self._emb, n_cells=self.n_cells,
                 nprobe=self.nprobe, seed=self.seed,
-                max_cell_rows=self.max_cell_rows,
+                max_cell_rows=self.max_cell_rows, emb_dtype=self.emb_dtype,
             )
         return ivf_topk_join(
             left, self._right, k=self.k, l_id=l_id, r_id=self._r_id,
             emb_col=emb_col or self._emb, n_cells=self.n_cells,
             nprobe=self.nprobe, seed=self.seed,
-            max_cell_rows=self.max_cell_rows,
+            max_cell_rows=self.max_cell_rows, emb_dtype=self.emb_dtype,
         )
 
 

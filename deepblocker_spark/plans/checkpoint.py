@@ -364,10 +364,13 @@ def run_blocking_pipeline(
             # n_cells=None auto-sizes to ~sqrt(N) from the manifest row
             # count (VERDICT r2 #9 — cfg.ivf_n_cells is an explicit
             # override; the default fixed 16 degenerates as N grows)
+            # same transport knob as the LSH path: the probed-cell
+            # exchange is the IVF plan's widest shuffle
             return ivf_topk(
                 emb, k=k, id_col=id_col, emb_col="embedding", dim=cfg.emb_dim,
                 n_cells=cfg.ivf_n_cells, nprobe=cfg.ivf_nprobe,
                 seed=cfg.random_seed, rows_hint=n_rows,
+                emb_dtype=cfg.lsh_emb_dtype,
             )
         p.index(emb, r_id=id_col)
         # mode='self': emb is checkpoint-backed; never rely on object
@@ -381,7 +384,8 @@ def run_blocking_pipeline(
                 "lsh": [cfg.lsh_n_bands, cfg.lsh_band_bits,
                         cfg.lsh_max_bucket_rows,
                         cfg.lsh_emb_dtype] if mode == "lsh" else None,
-                "ivf": [cfg.ivf_n_cells, cfg.ivf_nprobe] if mode == "ivf" else None},
+                "ivf": [cfg.ivf_n_cells, cfg.ivf_nprobe,
+                        cfg.lsh_emb_dtype] if mode == "ivf" else None},
         layout=("l_id", n_part),
     )
     # the candidates stage is materialized: release the signature /

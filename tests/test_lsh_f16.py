@@ -92,3 +92,30 @@ def test_invalid_emb_dtype_raises(spark):
     df = _emb_df(spark, 10, seed=1)
     with pytest.raises(ValueError):
         signature_buckets(df, dim=DIM, emb_dtype="f8")
+
+
+def test_ivf_binary_transport_f32_and_f16(spark):
+    # f32 binary transport must reproduce the (previous) array-transport
+    # results; f16 must match f32 exactly on f16-representable inputs
+    from deepblocker_spark.operators.ann import ivf_topk, release_assignment_caches
+
+    df = _emb_df(spark, 300, seed=13, quantize=True)
+
+    def run(dtype):
+        out = ivf_topk(df, k=4, id_col="id", emb_col="embedding", dim=DIM,
+                       n_cells=6, nprobe=2, seed=3, emb_dtype=dtype)
+        got = {(r["l_id"], r["r_id"], r["rank"]) for r in out.collect()}
+        release_assignment_caches()
+        return got
+
+    a, b = run("f32"), run("f16")
+    assert a == b and len(a) > 0
+
+
+def test_ivf_invalid_emb_dtype_raises(spark):
+    from deepblocker_spark.operators.ann import ivf_topk
+
+    df = _emb_df(spark, 20, seed=1)
+    with pytest.raises(ValueError):
+        ivf_topk(df, k=2, id_col="id", dim=DIM, n_cells=2, nprobe=1,
+                 emb_dtype="f64").collect()
