@@ -165,6 +165,19 @@ def q_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
 
 
+def q_prefix_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # prefix-filtered SET-COSINE threshold join (AllPairs bound with t²
+    # prefixes/length filter — cosine admits size-skewed pairs Jaccard
+    # rejects, the symmetric normalisation TF-IDF blocking reduces to at
+    # uniform weights). Oracle is the exhaustive inverted-index join with
+    # the cosine formula: pruning must change nothing. Full value oracle.
+    from deepblocker_spark.operators.dedup import prefix_cosine_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = prefix_cosine_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    return pairs.select("a", "b", F.round("cosine", 9).alias("cosine"))
+
+
 def q_ensemble_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking ensemble: union of two complementary blockers' candidate
     # sets (banded minhash at t>=0.9, prefix-filtered exact Jaccard at
@@ -290,6 +303,24 @@ def q_key_blocking_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return purged_blocks(docs, ["lang", "source"], max_block_rows=8)
+
+
+def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # phonetic key blocking: NARA Soundex of the part name's first word as
+    # the blocking key — rows that SOUND alike block together regardless
+    # of spelling, the classic name-attribute blocker. The encoder is a
+    # pure expression chain (functions/phonetic.py) replicated verbatim in
+    # the DuckDB oracle (no soundex builtin there), so this is a full
+    # value oracle over both the key computation AND the pair generation.
+    from deepblocker_spark.functions.phonetic import soundex_col
+    from deepblocker_spark.operators.dedup import key_blocking_pairs
+
+    part = _t(spark, sf_dir, "part")
+    keyed = part.select(
+        "p_partkey",
+        soundex_col(F.split(F.col("p_name"), " ").getItem(0)).alias("sx_key"),
+    )
+    return key_blocking_pairs(keyed, ["sx_key"], id_col="p_partkey")
 
 
 def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "prefix_jaccard": q_prefix_jaccard,
+        "prefix_cosine": q_prefix_cosine,
         "ensemble_blocking": q_ensemble_blocking,
         "topk_cosine": q_topk_cosine,
         "topk_cosine_dyadic": q_topk_cosine_dyadic,
@@ -813,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "key_blocking": q_key_blocking,
         "key_blocking_purged": q_key_blocking_purged,
+        "phonetic_blocking": q_phonetic_blocking,
         "meta_blocking": q_meta_blocking,
         "meta_blocking_cnp": q_meta_blocking_cnp,
         "meta_blocking_wnp": q_meta_blocking_wnp,
@@ -1017,6 +1050,15 @@ select a, b, round(jac, 9) as jaccard from j where jac >= 0.1
     # threshold 0.6 — prefix filtering must change nothing.
     prefix_jaccard_sql = ngram_sql.replace("jac >= 0.1", "jac >= 0.6")
 
+    # prefix_cosine's oracle: same exhaustive join, set-cosine formula —
+    # the t² prefix/length pruning must change nothing.
+    prefix_cosine_sql = ngram_sql.replace(
+        "inter::DOUBLE / (sa.n_sh + sb.n_sh - inter) as jac",
+        "inter::DOUBLE / sqrt(sa.n_sh * sb.n_sh) as jac",
+    ).replace("jac >= 0.1", "jac >= 0.7").replace(
+        "round(jac, 9) as jaccard", "round(jac, 9) as cosine"
+    )
+
     topk_sql = """
 with sims as (
   select a.vec_id as l_id, b.vec_id as r_id,
@@ -1107,6 +1149,25 @@ join (
   from documents group by lang, source
 ) s on l.lang = s.lang and l.source = s.source
 where l.doc_id < r.doc_id
+"""
+
+    # phonetic_blocking oracle: the soundex expression chain replicated
+    # verbatim (functions/phonetic.py builds both sides from the same
+    # per-digit-collapse spec), then the same intra-block pair join.
+    from deepblocker_spark.functions.phonetic import soundex_sql
+
+    _sx = soundex_sql("split_part(p_name, ' ', 1)")
+    phonetic_blocking_sql = f"""
+with keyed as (
+  select p_partkey, {_sx} as sx_key from part
+), sized as (
+  select sx_key, count(*)::BIGINT as block_size from keyed group by sx_key
+)
+select l.p_partkey as a, r.p_partkey as b, l.sx_key, s.block_size
+from keyed l
+join keyed r on l.sx_key = r.sx_key
+join sized s on l.sx_key = s.sx_key
+where l.p_partkey < r.p_partkey
 """
 
     # meta-blocking oracle: identical pipeline in SQL — token blocking
@@ -1332,6 +1393,7 @@ select doc_id, {_minhash_cols_sql(8)} from t
         "nearest_name_lev": nearest_name_sql,
         "ngram_jaccard": ngram_sql,
         "prefix_jaccard": prefix_jaccard_sql,
+        "prefix_cosine": prefix_cosine_sql,
         "ensemble_blocking": f"""
 with u as (
   select a, b, 'minhash' as src from ({minhash_pairs_sql})
@@ -1348,6 +1410,7 @@ from u group by a, b
         "knn_recall": knn_recall_sql,
         "cc_components": cc_sql,
         "key_blocking": key_blocking_sql,
+        "phonetic_blocking": phonetic_blocking_sql,
         "key_blocking_purged": """
 select lang, source, count(*)::BIGINT as block_size
 from documents group by lang, source having count(*) > 8

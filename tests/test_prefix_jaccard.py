@@ -88,3 +88,63 @@ def test_prefix_short_docs_yield_no_shingles(spark):
 def test_prefix_empty_result(spark):
     df = _docs(spark, ["a b c d e", "v w x y z"])
     assert prefix_jaccard_pairs(df, n=2, threshold=0.5).count() == 0
+
+# ---------------------------------------------------------------------------
+# set-cosine variant (prefix_cosine_pairs): same losslessness contract,
+# cosine normalisation |A∩B|/sqrt(|A||B|), t² prefixes/length filter
+# ---------------------------------------------------------------------------
+
+def _brute_force_cosine(texts, n, threshold):
+    def shingles(t):
+        toks = basic_english_tokenize(t)
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter:
+            c = inter / ((len(sa) * len(sb)) ** 0.5)
+            if c >= threshold:
+                out[(a, b)] = round(c, 9)
+    return out
+
+
+def _collect_cos(df):
+    return {(r["a"], r["b"]): round(r["cosine"], 9) for r in df.collect()}
+
+
+def test_prefix_cosine_equals_brute_force(spark):
+    from deepblocker_spark.operators.dedup import prefix_cosine_pairs
+
+    texts = _make_texts(23)
+    df = _docs(spark, texts)
+    for t in (0.5, 0.7, 0.9):
+        want = _brute_force_cosine(texts, 3, t)
+        got = _collect_cos(prefix_cosine_pairs(df, n=3, threshold=t))
+        assert got == want, t
+
+
+def test_prefix_cosine_admits_size_skew_jaccard_rejects(spark):
+    # |A|=3, |B|=12 sharing all of A: jaccard = 3/12 = 0.25 but cosine =
+    # 3/sqrt(36) = 0.5 — the size-skewed near-containment case set cosine
+    # exists for
+    from deepblocker_spark.operators.dedup import prefix_cosine_pairs
+
+    small = "a b c d"                       # 3 2-shingles
+    big = "a b c d e f g h i j k l m"      # 12 2-shingles, contains small's
+    df = _docs(spark, [small, big])
+    got_cos = _collect_cos(prefix_cosine_pairs(df, n=2, threshold=0.5))
+    assert got_cos == {(0, 1): 0.5}
+    assert prefix_jaccard_pairs(df, n=2, threshold=0.5).count() == 0
+
+
+def test_prefix_cosine_threshold_one_exact_duplicates_only(spark):
+    from deepblocker_spark.operators.dedup import prefix_cosine_pairs
+
+    texts = ["alpha beta gamma delta"] * 2 + ["epsilon zeta eta theta"]
+    got = _collect_cos(prefix_cosine_pairs(_docs(spark, texts), n=2, threshold=1.0))
+    assert got == {(0, 1): 1.0}
