@@ -305,6 +305,19 @@ def q_key_blocking_purged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purged_blocks(docs, ["lang", "source"], max_block_rows=8)
 
 
+def q_tfidf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full Bayardo/AllPairs weighted similarity join: EXACTLY the pairs
+    # with TF-IDF cosine >= 0.8, found via maxweight-ordered prefix
+    # postings (suffix bound < t stops indexing) + exact token-keyed
+    # verification. Oracle is the exhaustive weighted join — the pruning
+    # must change nothing. Full value oracle.
+    from deepblocker_spark.operators.scoring import tfidf_cosine_join
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tfidf_cosine_join(docs, threshold=0.8, id_col="doc_id", text_col="text")
+    return out.select("a", "b", F.round("tfidf_cos", 6).alias("tfidf_cos"))
+
+
 def q_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phonetic key blocking: NARA Soundex of the part name's first word as
     # the blocking key — rows that SOUND alike block together regardless
@@ -846,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_blocking": q_key_blocking,
         "key_blocking_purged": q_key_blocking_purged,
         "phonetic_blocking": q_phonetic_blocking,
+        "tfidf_join": q_tfidf_join,
         "meta_blocking": q_meta_blocking,
         "meta_blocking_cnp": q_meta_blocking_cnp,
         "meta_blocking_wnp": q_meta_blocking_wnp,
@@ -1007,6 +1021,27 @@ dots as (
 )
 select p.a, p.b, round(coalesce(d.dot, 0.0), 6) as tfidf_cos
 from pairs p left join dots d on p.a = d.a and p.b = d.b
+"""
+
+    # tfidf_join oracle: the exhaustive weighted-cosine join over the SAME
+    # tf-idf/normalisation CTE chain — AllPairs pruning must change nothing.
+    tfidf_join_sql = f"""
+with tok as (select doc_id as id, unnest({_TOKS}) as token from documents),
+tf as (select id, token, count(*)::DOUBLE as tf from tok group by id, token),
+dft as (select token, count(*)::DOUBLE as df from tf group by token),
+tot as (select count(*)::DOUBLE as n from documents),
+w as (
+  select id, token, tf * (ln((n + 1) / (df + 1)) + 1.0) as w
+  from tf join dft using (token) cross join tot
+),
+nrm as (select id, sqrt(sum(w * w)) as nr from w group by id),
+v as (select w.id, token, w / nr as wn from w join nrm on w.id = nrm.id),
+dots as (
+  select va.id as a, vb.id as b, sum(va.wn * vb.wn) as dot
+  from v va join v vb on va.token = vb.token and va.id < vb.id
+  group by 1, 2
+)
+select a, b, round(dot, 6) as tfidf_cos from dots where dot >= 0.8
 """
 
     nearest_name_sql = """
@@ -1411,6 +1446,7 @@ from u group by a, b
         "cc_components": cc_sql,
         "key_blocking": key_blocking_sql,
         "phonetic_blocking": phonetic_blocking_sql,
+        "tfidf_join": tfidf_join_sql,
         "key_blocking_purged": """
 select lang, source, count(*)::BIGINT as block_size
 from documents group by lang, source having count(*) > 8

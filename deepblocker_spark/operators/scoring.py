@@ -403,3 +403,68 @@ def score_candidates(
         .withColumn("jw", jaro_winkler_udf(F.col("_l_text"), F.col("_r_text")))
     )
     return out.drop("_l_emb", "_r_emb", "_l_text", "_r_text")
+
+
+def tfidf_cosine_join(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (a, b, tfidf_cos): EXACTLY the pairs with weighted TF-IDF cosine
+    >= threshold — the full Bayardo/AllPairs (WWW'07) similarity join over
+    L2-normalized sparse vectors, the weighted generalisation of
+    ``dedup.prefix_cosine_pairs``'s uniform-weight bound.
+
+    Pruning, all DataFrame ops (one agg for the global per-token max
+    weight ``mw``, one per-doc window for the suffix bound):
+
+      * global token order: mw DESC, token ASC — one total order shared by
+        every doc, high-potential tokens first (Bayardo's maxweight
+        order), so suffix bounds collapse fast and prefixes stay short.
+      * a doc indexes token i iff the bound over its suffix FROM i,
+        B(i) = sum_{j>=i} wn_j * mw(token_j), is >= threshold. For any
+        pair with cos >= t, the earliest common token c (same global
+        order inside every doc) must be indexed by BOTH sides: were c
+        past a's indexed prefix, every common token would be (order is
+        shared), and cos = sum wa*wb <= sum_{j after prefix} wa_j *
+        mw_j < t — contradiction. The prefix-postings join is lossless.
+      * the bound check keeps a 1e-9 slack (floating-point summation must
+        never FALSELY DISMISS — slack only admits extra candidates, which
+        exact verification then drops).
+
+    Verification joins candidates back to the full vectors token-keyed
+    (cost ~ candidates x shared tokens, the ``tfidf_cosine_scores``
+    shape). No N^2, no driver vocabulary, no UDF — 100 TB-shaped."""
+    from pyspark.sql import Window
+
+    vecs = tfidf_vectors(docs, id_col=id_col, text_col=text_col)
+    mw = vecs.groupBy("token").agg(F.max("wn").alias("_mw"))
+    vw = vecs.join(mw, "token")
+    # suffix bound from the current row to the doc's end, under the order
+    suffix = (
+        Window.partitionBy("id")
+        .orderBy(F.col("_mw").desc(), F.col("token").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prefix = (
+        vw.withColumn("_bound", F.sum(F.col("wn") * F.col("_mw")).over(suffix))
+        .filter(F.col("_bound") >= float(threshold) - 1e-9)
+        .select("id", "token")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("a"), "token")
+        .join(prefix.select(F.col("id").alias("b"), "token"), "token")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    va = vecs.select(F.col("id").alias("a"), "token", F.col("wn").alias("_wa"))
+    vb = vecs.select(F.col("id").alias("b"), "token", F.col("wn").alias("_wb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, ["b", "token"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("tfidf_cos"))
+        .filter(F.col("tfidf_cos") >= threshold)
+    )
