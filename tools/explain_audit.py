@@ -181,6 +181,34 @@ def main() -> None:
     )
     qs["prefix_jaccard"] = m.queries()["prefix_jaccard"]
 
+    # Weighted AllPairs join (round 4): prefix postings are a per-doc
+    # window (suffix bound) over the maxweight order; tf/df/maxweight are
+    # hash aggs; candidate generation + verification are equi-joins on
+    # token / (a, b) — no cartesian product anywhere in the plan.
+    audits["tfidf_join"] = (
+        ["!CartesianProduct", "Window", "HashAggregate",
+         "ReadSchema: struct<doc_id:bigint,text:string>"],
+        "suffix-bound prefix selection is one per-doc window; tf/df/"
+        "maxweight via partial+final hash aggs; token-keyed candidate and "
+        "verification equi-joins only — no cartesian; scan pruned to "
+        "(doc_id, text)",
+    )
+    qs["tfidf_join"] = m.queries()["tfidf_join"]
+
+    # Phonetic blocking (round 4): the soundex key is a pure expression
+    # chain (whole-stage codegen Project, no UDF anywhere — no python
+    # runner nodes), pair generation is a co-partitioned equi self-join on
+    # the key, block sizes via hash agg. Scan pruned to (p_partkey, p_name).
+    audits["phonetic_blocking"] = (
+        ["!CartesianProduct", "!BatchEvalPython", "!MapInPandas",
+         "!ArrowEvalPython", "HashAggregate",
+         "ReadSchema: struct<p_partkey:bigint,p_name:string>"],
+        "soundex is JVM codegen expressions (no Python nodes); intra-block "
+        "pairs via key equi-join; block sizes via hash agg; scan pruned to "
+        "(p_partkey, p_name)",
+    )
+    qs["phonetic_blocking"] = m.queries()["phonetic_blocking"]
+
     # One-to-one matching round 1 (round 4): the symmetric-best filter is
     # one node-keyed window over the doubled edge list plus a count==2
     # hash agg on the edge key — no join back to any table, no cartesian.
