@@ -220,6 +220,23 @@ def main() -> None:
     )
     qs["mutual_best_match"] = m.queries()["mutual_best_match"]
 
+    # Edit-distance threshold join (round 4): both pigeonhole key
+    # generators are JVM sequence/transform/substring expression chains (no
+    # Python runner nodes), candidate generation is one equi-join on
+    # (slot, length, segment), verification is codegen levenshtein on the
+    # deduplicated candidates — no cartesian product anywhere, scan pruned
+    # to (p_partkey, p_name).
+    audits["edit_join"] = (
+        ["!CartesianProduct", "!BatchEvalPython", "!MapInPandas",
+         "!ArrowEvalPython", "HashAggregate",
+         "ReadSchema: struct<p_partkey:bigint,p_name:string>"],
+        "PassJoin postings/probe keys are pure JVM expressions (no Python "
+        "nodes); one (slot, length, segment) equi-join generates "
+        "candidates; dedup via hash agg; codegen levenshtein verification; "
+        "scan pruned to (p_partkey, p_name)",
+    )
+    qs["edit_join"] = m.queries()["edit_join"]
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
