@@ -59,8 +59,9 @@ SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "240000"))
 
 # minhash_pairs / ngram_jaccard — and their consumers cand_jw_scores /
 # tfidf_cosine (round 3) and prefix_jaccard / ensemble_blocking /
-# mutual_best_match (round 4), which build on the same candidate set — are
-# excluded here: the synthetic documents table has a ~31-word vocabulary, so
+# mutual_best_match / edit_join (round 4), which build on the same candidate
+# set or an equally vocabulary-bound name column (5k quarter-sample part
+# names -> 242k true pairs at d=1) — are excluded here: the synthetic documents table has a ~31-word vocabulary, so
 # ~8% of ALL doc pairs are >=0.9 Jaccard and the TRUE result set (not the
 # operator's pruning) degenerates to near-quadratic — a data pathology, not
 # an operator property. They remain in the sf0.01 correctness gate; the

@@ -139,6 +139,20 @@ def test_edit_join_dyadic_length_skew_both_directions(spark):
     assert got == want
 
 
+def test_edit_join_exhaustive_small_alphabet(spark):
+    # every string over {a, b} of length <= 4 (31 strings), self-joined at
+    # d = 1..3: exhausts every boundary of the shift-bounded probe window
+    # (all length deltas, all segment alignments) against brute force
+    rows = []
+    strs = [""]
+    for _ in range(4):
+        strs = [s + c for s in strs for c in "ab"]
+        rows.extend(strs)
+    rows = [(i, s) for i, s in enumerate([""] + rows)]
+    for d in (1, 2, 3):
+        assert _run(spark, rows, d) == _brute_force(rows, d), f"d={d}"
+
+
 def test_edit_join_rejects_negative_threshold(spark):
     import pytest
 
