@@ -153,6 +153,41 @@ def test_edit_join_exhaustive_small_alphabet(spark):
         assert _run(spark, rows, d) == _brute_force(rows, d), f"d={d}"
 
 
+def test_edit_join_unicode_parity(spark):
+    # Spark's length/substring/levenshtein are codepoint-based and must
+    # agree with Python's — including multibyte and astral-plane chars
+    # (UTF-16 surrogate pairs are where a UTF8String implementation would
+    # diverge if it counted code units).
+    rows = list(
+        enumerate(
+            ["café", "cafe", "caffé", "straße", "strasse", "中文字符",
+             "中文字号", "中文", "naïve", "naive", "𝄞clef", "Xclef",
+             "🎼🎼a", "🎼🎼b"]
+        )
+    )
+    for d in (1, 2):
+        assert _run(spark, rows, d) == _brute_force(rows, d), f"d={d}"
+
+
+def test_edit_join_hypothesis_random_strings(spark):
+    # randomized parity over a mixed ascii/multibyte alphabet — one batched
+    # Spark round-trip over many generated corpora (per-example Spark jobs
+    # would be minutes; the generation is hypothesis-style but seeded/
+    # deterministic for CI stability)
+    rng = np.random.default_rng(1234)
+    alpha = list("abcß中🎼")
+    corpora = []
+    for _ in range(6):
+        strs = [
+            "".join(rng.choice(alpha, size=rng.integers(0, 9)))
+            for _ in range(30)
+        ]
+        corpora.append([(i, s) for i, s in enumerate(strs)])
+    for ci, rows in enumerate(corpora):
+        d = int(rng.integers(1, 4))
+        assert _run(spark, rows, d) == _brute_force(rows, d), f"corpus={ci} d={d}"
+
+
 def test_edit_join_rejects_negative_threshold(spark):
     import pytest
 
