@@ -309,6 +309,20 @@ def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suffix_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # suffix-array blocking (Aizawa & Oyama): longest shared key suffix
+    # >= 4 chars, high-frequency suffix blocks purged at 30 rows before
+    # pair generation (the classic's maximum-block-size step) — the purge
+    # is auditable via purged_suffix_blocks. Full value oracle.
+    from deepblocker_spark.operators.dedup import suffix_blocking_pairs
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 4 == 0)
+    return suffix_blocking_pairs(
+        part, "p_name", id_col="p_partkey", min_suffix_len=4,
+        max_block_rows=30,
+    )
+
+
 def q_edit_join_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the clean-clean shape: part-name quarter 0 vs quarter 1 within one
     # edit — right side indexed once, left probes the full +-d window.
@@ -892,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_blocking_purged": q_key_blocking_purged,
         "edit_join": q_edit_join,
         "edit_join_dyadic": q_edit_join_dyadic,
+        "suffix_blocking": q_suffix_blocking,
         "phonetic_blocking": q_phonetic_blocking,
         "tfidf_join": q_tfidf_join,
         "meta_blocking": q_meta_blocking,
@@ -1245,6 +1260,23 @@ from l join r
 where levenshtein(l.p_name, r.p_name) <= 1
 """
 
+    # suffix_blocking oracle: suffixes via unnest(generate_series), the
+    # same <=30 block cap, longest shared suffix per pair via arg_max.
+    suffix_blocking_sql = """
+with p as (select p_partkey as id, p_name as k from part where p_partkey % 4 = 0),
+ns as (
+  select id, k, unnest(generate_series(4, length(k))) as n
+  from p where length(k) >= 4
+),
+suf as (select id, substr(k, length(k)-n+1, n) as suffix, n from ns),
+kept as (select suffix from suf group by suffix having count(*) <= 30),
+sk as (select s.* from suf s join kept using (suffix))
+select a.id as a, b.id as b, arg_max(a.suffix, a.n) as suffix,
+       max(a.n)::BIGINT as suffix_len
+from sk a join sk b on a.suffix = b.suffix and a.id < b.id
+group by a.id, b.id
+"""
+
     # phonetic_blocking oracle: the soundex expression chain replicated
     # verbatim (functions/phonetic.py builds both sides from the same
     # per-digit-collapse spec), then the same intra-block pair join.
@@ -1506,6 +1538,7 @@ from u group by a, b
         "key_blocking": key_blocking_sql,
         "edit_join": edit_join_sql,
         "edit_join_dyadic": edit_join_dyadic_sql,
+        "suffix_blocking": suffix_blocking_sql,
         "phonetic_blocking": phonetic_blocking_sql,
         "tfidf_join": tfidf_join_sql,
         "key_blocking_purged": """
