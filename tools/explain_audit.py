@@ -237,6 +237,20 @@ def main() -> None:
     )
     qs["edit_join"] = m.queries()["edit_join"]
 
+    # Suffix-array blocking (round 4): suffix postings are JVM
+    # transform/substring (no Python nodes), the block-size cap is a hash
+    # agg + equi-join on suffix (no window over a global sort), pair
+    # dedup + longest-suffix selection is one hash agg — no cartesian.
+    audits["suffix_blocking"] = (
+        ["!CartesianProduct", "!BatchEvalPython", "!MapInPandas",
+         "!ArrowEvalPython", "!Window", "HashAggregate",
+         "ReadSchema: struct<p_partkey:bigint,p_name:string>"],
+        "suffix postings via JVM expressions; max-block purge via hash agg "
+        "+ suffix equi-join; per-pair longest suffix via struct-max hash "
+        "agg (no window, no sort); scan pruned to (p_partkey, p_name)",
+    )
+    qs["suffix_blocking"] = m.queries()["suffix_blocking"]
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
