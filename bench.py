@@ -957,6 +957,21 @@ def main():
         json.dump(out, f, indent=1)
     print(f"# full artifact -> {bench_path}", file=sys.stderr)
 
+    # Append-only scaling log: every fresh recording survives later runs
+    # (BENCH.json is overwritten per run, and scaling efficiency on this
+    # shared-bus host swings 2x with phase — the full recording history is
+    # the honest dataset, not whichever phase ran last). Read it next to
+    # BASELINE.md's per-recording narrative.
+    if "scaling" in out and not out["scaling"].get("carried_from_previous_run"):
+        hist_path = os.path.join(os.path.dirname(bench_path),
+                                 "SCALING_HISTORY.jsonl")
+        rec = {"source": "bench.py", "cpus": CPUS, "sf": SF_DIR}
+        for key in ("scaling", "scaling_exact"):
+            if key in out:
+                rec[key] = out[key]
+        with open(hist_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
     # The driver's tail capture holds ~2 KB: round 3's line (with stage
     # arrays) truncated mid-JSON and the artifact recorded parsed=null.
     # The stdout line is therefore a fixed WHITELIST of headline scalars —

@@ -37,6 +37,13 @@ def main() -> None:
 
     with open(bench_path, "w") as f:
         json.dump(out, f, indent=1)
+    hist_path = os.path.join(os.path.dirname(bench_path), "SCALING_HISTORY.jsonl")
+    rec = {"source": "tools/record_scaling.py"}
+    for key in ("scaling", "scaling_exact"):
+        if key in out:
+            rec[key] = out[key]
+    with open(hist_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
     print(
         json.dumps(
             {
