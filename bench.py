@@ -217,7 +217,8 @@ def _run_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
 
 def _scaling_job(spark, parquet_path: str, limit: int | None = None,
                  rows_hint: int | None = None, n_parts: int = 64,
-                 pairing: str = "auto", emb_dtype: str | None = None) -> dict:
+                 pairing: str = "auto", emb_dtype: str | None = None,
+                 gather: str | None = None) -> dict:
     """The measured workload — the production blocking pipeline's candidate
     stage with the same pairing selection `run_blocking_pipeline` uses:
     preprocess -> SIF embed -> top-10 self-join. At the default SCALE_ROWS
@@ -260,6 +261,8 @@ def _scaling_job(spark, parquet_path: str, limit: int | None = None,
             n_bands=cfg.lsh_n_bands, band_bits=cfg.lsh_band_bits,
             seed=cfg.random_seed, max_bucket_rows=cfg.lsh_max_bucket_rows,
             emb_dtype=emb_dtype or cfg.lsh_emb_dtype,
+            gather=gather or cfg.lsh_gather,
+            gather_max_bytes=cfg.lsh_gather_max_bytes,
         )
     else:
         cand = exact_topk_join(
@@ -426,9 +429,19 @@ def _measure_scaling(rows_target: int | None = None,
         "                              'spark.sql.adaptive.advisoryPartitionSizeInBytes': '16m',\n"
         "                              'spark.sql.adaptive.coalescePartitions.parallelismFirst': 'false'})\n"
         "main_pairing = %r\n"
-        "_scaling_job(spark, %r, limit=500, rows_hint=500, pairing=main_pairing)\n"
+        # gather='exchange' pins the RECORDED plan to the carried-vector
+        # kernel exchange the whole protocol-v5 evidence chain profiles.
+        # The broadcast-gather alternative (config.lsh_gather) measured
+        # SAME-scaling / slightly-slower on this host (tools/gather_ab.py:
+        # same-phase 2v8 round: exchange 3.22x vs broadcast 3.18x, local[8]
+        # 37.6s vs 40.4s) — locally the shuffle never crosses a network, so
+        # dropping its bytes buys nothing the gather work doesn't spend;
+        # on a real cluster the narrow exchange is the win the auto gate
+        # exists for.
+        "_scaling_job(spark, %r, limit=500, rows_hint=500, pairing=main_pairing,\n"
+        "             gather='exchange')\n"
         "t0 = time.perf_counter()\n"
-        "res = _scaling_job(spark, %r, rows_hint=%d)\n"
+        "res = _scaling_job(spark, %r, rows_hint=%d, gather='exchange')\n"
         "dt = time.perf_counter() - t0\n"
         "spark.stop()\n"
         "print(json.dumps({'t': dt, 'pairs': res['pairs'], "

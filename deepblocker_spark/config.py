@@ -68,6 +68,15 @@ class BlockerConfig:
     # the same knob to its probed-cell exchange (cell membership computed
     # pre-pack, so membership is dtype-independent there too).
     lsh_emb_dtype: str = "f16"
+    # How the LSH bucket kernel obtains vectors: 'auto' broadcasts the
+    # quantized embedding matrix when it fits lsh_gather_max_bytes — the
+    # kernel exchange then ships only (band, bucket, salt, id), dropping
+    # the n_bands-fold vector duplication that dominates the plan's widest
+    # shuffle — and falls back to carrying the vector through the exchange
+    # above the gate (the only viable shape at 100 TB). Output is
+    # bit-identical either way (tests/test_lsh_gather.py).
+    lsh_gather: str = "auto"
+    lsh_gather_max_bytes: int = 64 << 20
     # None = auto-size n_cells to ~sqrt(N) from the embeddings manifest row
     # count (a fixed cell count degenerates as the corpus grows); set an int
     # to override.

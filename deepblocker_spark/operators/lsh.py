@@ -182,6 +182,35 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
 # ContextCleaner unpersists dropped frames as the GC backstop. At true 100 TB
 # the same role is played by the checkpoint stage boundary (the candidates
 # stage materializes, then caches are released).
+# Worker-lifetime id->row lookup for the broadcast-gather kernel: building
+# the hash Index once per (worker, broadcast) instead of once per Arrow
+# batch (same cap-at-2 shape as topk.py's f32 cache — at most two gathers
+# are ever live, e.g. the two sides of a dyadic join).
+_GATHER_INDEX_CACHE: dict[int, pd.Index] = {}
+
+
+def _gather_rows(bc, ids_all: np.ndarray) -> np.ndarray:
+    """Rows of the broadcast (ids, matrix) pair for ``ids_all``, via a
+    cached pandas Index (any hashable id dtype)."""
+    ids, mat = bc.value
+    # identity key: Broadcast.value is cached per worker process, so the
+    # unpickled ids array is the same object across batches (the same
+    # identity-key pattern as topk.py's f32 cache)
+    key = id(ids)
+    idx = _GATHER_INDEX_CACHE.get(key)
+    if idx is None:
+        if len(_GATHER_INDEX_CACHE) >= 2:
+            _GATHER_INDEX_CACHE.clear()
+        idx = pd.Index(ids)
+        _GATHER_INDEX_CACHE[key] = idx
+    pos = idx.get_indexer(ids_all)
+    # every exchanged id came from the same signature frame the broadcast
+    # was collected from; a miss means the two drifted apart
+    if len(pos) and pos.min() < 0:
+        raise RuntimeError("broadcast gather: id missing from embedding matrix")
+    return mat[pos]
+
+
 _SIG_CACHES: list[DataFrame] = []
 
 
@@ -235,6 +264,8 @@ def lsh_candidates(
     max_bucket_rows: int = 5_000,
     min_sim: float | None = None,
     emb_dtype: str = "f32",
+    gather: str = "auto",
+    gather_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Self-join candidate generation: -> (l_id, r_id, sim, rank), rank<=k
     per l_id, l_id != r_id, deterministic (sim desc, r_id asc) tie-break.
@@ -246,7 +277,35 @@ def lsh_candidates(
     ``emb_dtype='f16'`` halves the kernel exchange's bytes by quantizing
     the carried vector (see ``signature_buckets``); bucket membership is
     unchanged, in-bucket scores carry ~1e-3 quantization error.
+
+    ``gather`` picks how the kernel obtains vectors:
+
+    - ``'exchange'``: the vector rides every (band, bucket) row through the
+      shuffle — n_bands copies of every embedding cross the wire. Always
+      correct; the only option when the table is too big to broadcast.
+    - ``'broadcast'``: the kernel exchange ships ONLY (band, bucket, salt,
+      id) — the narrow rows are ~6-25x smaller than with a carried vector —
+      and the kernel gathers rows from a one-time broadcast of the
+      quantized embedding matrix (collected once from the persisted
+      signature frame's band-0 slice, so the embed stage is NOT
+      recomputed). This attacks the measured bottleneck directly: the
+      kernel exchange is the largest, most bandwidth-bound shuffle of the
+      blocking plan (BASELINE.md protocol v5), and at broadcastable sizes
+      (matrix <= ``gather_max_bytes``) nearly all of its bytes are the
+      n_bands-fold vector duplication. Same per-value f16/f32 -> f64
+      conversion as the exchange kernel — the pair output is
+      BIT-IDENTICAL (pytest-gated).
+    - ``'auto'`` (default): broadcast when n_rows * dim * itemsize <=
+      ``gather_max_bytes`` (one near-free count on the persisted signature
+      frame), else exchange — the same size-gated pattern as Spark's own
+      broadcast-join threshold and ``exact_topk_join``'s chunked
+      broadcast. At 100 TB auto always lands on exchange; per-worker
+      memory cost of broadcast is one matrix copy per Python worker.
     """
+    if gather not in ("auto", "broadcast", "exchange"):
+        raise ValueError(
+            f"unknown gather: {gather!r} (use 'auto', 'broadcast' or 'exchange')"
+        )
     # Skew handling: oversized (hot) buckets are SALT-SPLIT, not truncated —
     # rows in a bucket bigger than max_bucket_rows get a deterministic
     # sub-bucket salt (xxhash64(id) % n_splits), bounding every task's
@@ -291,6 +350,38 @@ def lsh_candidates(
     else:
         joined = sigs.withColumn("salt", F.lit(0))
 
+    # Broadcast-gather decision (see the docstring): the signature frame is
+    # persisted and n_rows = sigs.count() / n_bands exactly, so the auto
+    # gate costs one cached count, no extra scan.
+    dt_item = 2 if emb_dtype == "f16" else 4
+    use_broadcast = gather == "broadcast"
+    if gather == "auto":
+        n_rows = sigs.count() // max(n_bands, 1)
+        use_broadcast = n_rows * dim * dt_item <= gather_max_bytes
+    emb_bc = None
+    if use_broadcast:
+        b0 = sigs.filter(F.col("band") == 0).select(id_col, "_emb").toPandas()
+        dt_np = np.float16 if emb_dtype == "f16" else np.float32
+        mat = (
+            np.frombuffer(b"".join(b0["_emb"].to_numpy()), dtype=dt_np)
+            .reshape(len(b0), -1)
+            if len(b0)
+            else np.zeros((0, dim), dtype=dt_np)
+        )
+        emb_bc = df.sparkSession.sparkContext.broadcast(
+            (b0[id_col].to_numpy(), mat)
+        )
+        joined = joined.select("band", "bucket", "salt", id_col)
+        # The narrow rows shrink the kernel exchange ~6-25x — enough that
+        # AQE's advisory size would coalesce it to a handful of fat
+        # partitions and starve the kernel stage of parallelism (the
+        # kernel's matmul work per row is UNCHANGED by row width). An
+        # explicit partition count keeps the bare repartition exempt from
+        # AQE coalescing at the session's configured width.
+        gather_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+
     id_type = df.select(id_col).schema.fields[0].dataType
     pair_schema = StructType(
         [
@@ -305,9 +396,12 @@ def lsh_candidates(
         # slices per bucket (see grouped.py module doc for why this beats
         # per-group applyInPandas)
         ids_all = pdf[id_col].to_numpy()
-        buf = b"".join(pdf["_emb"].to_numpy())
-        dt = np.float16 if emb_dtype == "f16" else np.float32
-        x_all = np.frombuffer(buf, dtype=dt).reshape(len(pdf), -1)
+        if emb_bc is not None:
+            x_all = _gather_rows(emb_bc, ids_all)
+        else:
+            buf = b"".join(pdf["_emb"].to_numpy())
+            dt = np.float16 if emb_dtype == "f16" else np.float32
+            x_all = np.frombuffer(buf, dtype=dt).reshape(len(pdf), -1)
         x_all = normalize_rows(np.nan_to_num(x_all.astype(np.float64)))
         out_l, out_r, out_s = [], [], []
         for a, b in group_slices(pdf, ["band", "bucket", "salt"]):
@@ -346,7 +440,8 @@ def lsh_candidates(
         )
 
     pairs = grouped_map_in_pandas(
-        joined, ["band", "bucket", "salt"], buckets_kernel, pair_schema
+        joined, ["band", "bucket", "salt"], buckets_kernel, pair_schema,
+        num_partitions=gather_partitions if use_broadcast else None,
     )
     if min_sim is not None:
         pairs = pairs.filter(F.col("sim") >= min_sim)
@@ -513,11 +608,13 @@ class LSHVectorPairing:
     def __init__(self, k: int = 50, dim: int = 300, n_bands: int = 8,
                  band_bits: int = 12, seed: int = 1234,
                  max_bucket_rows: int = 5_000, min_sim: float | None = None,
-                 emb_dtype: str = "f32"):
+                 emb_dtype: str = "f32", gather: str = "auto",
+                 gather_max_bytes: int = 64 << 20):
         self.k, self.dim = k, dim
         self.n_bands, self.band_bits, self.seed = n_bands, band_bits, seed
         self.max_bucket_rows, self.min_sim = max_bucket_rows, min_sim
         self.emb_dtype = emb_dtype
+        self.gather, self.gather_max_bytes = gather, gather_max_bytes
         self.exclude_self = True  # LSH self-join never emits self-pairs
 
     def index(self, right: DataFrame, r_id: str = "id", emb_col: str = EMBEDDING):
@@ -537,7 +634,8 @@ class LSHVectorPairing:
             return lsh_candidates(
                 self._right, self._r_id, emb_col or self._emb, self.dim, self.k,
                 self.n_bands, self.band_bits, self.seed, self.max_bucket_rows,
-                self.min_sim, self.emb_dtype,
+                self.min_sim, self.emb_dtype, self.gather,
+                self.gather_max_bytes,
             )
         return lsh_candidates_dyadic(
             left, self._right, l_id, self._r_id, emb_col or self._emb, self.dim,

@@ -356,7 +356,8 @@ def run_blocking_pipeline(
                 k=k, dim=cfg.emb_dim, n_bands=cfg.lsh_n_bands,
                 band_bits=cfg.lsh_band_bits, seed=cfg.random_seed,
                 max_bucket_rows=cfg.lsh_max_bucket_rows,
-                emb_dtype=cfg.lsh_emb_dtype,
+                emb_dtype=cfg.lsh_emb_dtype, gather=cfg.lsh_gather,
+                gather_max_bytes=cfg.lsh_gather_max_bytes,
             )
         else:  # ivf
             from deepblocker_spark.operators.ann import ivf_topk
