@@ -169,6 +169,48 @@ def _dedup_topk(
     return pd.DataFrame(out)
 
 
+def pack_topk(out: pd.DataFrame, key: str, other: str, sim: str) -> pd.DataFrame:
+    """Pack ``_dedup_topk`` output (key-contiguous, rank-ordered) into ONE
+    row per key with parallel (other, sim) arrays — the combiner's packed
+    transport. The merge exchange then carries ~k-element array rows
+    instead of k scalar rows per (key, producing partition): same payload,
+    ~k-fold fewer rows, which is exactly the per-row shuffle/Arrow
+    overhead the 240k profile showed inflating under bus contention
+    (stage_profile: merge CPU 36 -> 67 CPU-s from 2 to 8 cores on 14.4M
+    scalar rows). Unpacking restores the identical row set, so results
+    are bit-identical."""
+    l = out[key].to_numpy()
+    if not len(l):
+        return pd.DataFrame({key: [], "_r": [], "_s": []})
+    new_grp = np.concatenate([[True], l[1:] != l[:-1]])
+    starts = np.nonzero(new_grp)[0]
+    ends = np.concatenate([starts[1:], [len(l)]])
+    r = out[other].to_numpy()
+    s = out[sim].to_numpy()
+    return pd.DataFrame(
+        {
+            key: l[starts],
+            "_r": [r[a:b] for a, b in zip(starts, ends)],
+            "_s": [s[a:b] for a, b in zip(starts, ends)],
+        }
+    )
+
+
+def _unpack_topk(pdf: pd.DataFrame, key: str, other: str, sim: str) -> pd.DataFrame:
+    """Inverse of ``pack_topk`` for one Arrow batch."""
+    rs = pdf["_r"].to_numpy()
+    sizes = np.fromiter((len(x) for x in rs), dtype=np.int64, count=len(rs))
+    if not sizes.sum():
+        return pd.DataFrame({key: [], other: [], sim: []})
+    return pd.DataFrame(
+        {
+            key: np.repeat(pdf[key].to_numpy(), sizes),
+            other: np.concatenate(rs),
+            sim: np.concatenate(pdf["_s"].to_numpy()),
+        }
+    )
+
+
 def topk_per_key(
     pairs: DataFrame,
     k: int,
@@ -178,6 +220,7 @@ def topk_per_key(
     num_partitions: int | None = None,
     pre_combine: bool = True,
     combine_buffer_rows: int = 2_000_000,
+    packed_input: bool = False,
 ) -> DataFrame:
     """Dedup (key, other) pairs and keep the top-k per key by (sim desc,
     other asc), attaching rank — the fused, single-shuffle replacement for
@@ -206,12 +249,35 @@ def topk_per_key(
     JVM-side only to be lexsorted AGAIN in Python). The reduce is
     associative (top-k of unioned top-ks = global top-k once all of a
     key's rows are present), so the same compaction bound applies."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    narrow = pairs.select(key, other, sim)
-    out_schema = StructType(
-        list(narrow.schema.fields) + [StructField("rank", IntegerType(), False)]
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    if packed_input:
+        # pairs carries (key, _r array, _s array) produced by pack_topk —
+        # a combiner already ran (inside the producing kernel), so there
+        # is nothing left for pre_combine to reduce
+        assert not pre_combine, "packed_input implies a fused combiner"
+        narrow = pairs
+        key_field = pairs.schema[key]
+        other_type = pairs.schema["_r"].dataType.elementType
+        out_schema = StructType(
+            [
+                key_field,
+                StructField(other, other_type, True),
+                StructField(sim, DoubleType(), False),
+                StructField("rank", IntegerType(), False),
+            ]
+        )
+    else:
+        narrow = pairs.select(key, other, sim)
+        out_schema = StructType(
+            list(narrow.schema.fields)
+            + [StructField("rank", IntegerType(), False)]
+        )
 
     def make_runner(with_rank: bool):
         def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -220,6 +286,8 @@ def topk_per_key(
             for pdf in batches:
                 if not len(pdf):
                     continue
+                if packed_input:
+                    pdf = _unpack_topk(pdf, key, other, sim)
                 buf.append(pdf)
                 nrows += len(pdf)
                 compacted = False

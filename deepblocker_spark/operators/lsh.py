@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
@@ -45,6 +46,7 @@ from deepblocker_spark.operators.grouped import (
     _dedup_topk,
     group_slices,
     grouped_map_in_pandas,
+    pack_topk,
     topk_per_key,
 )
 from deepblocker_spark.operators.topk import normalize_rows
@@ -383,11 +385,14 @@ def lsh_candidates(
         )
 
     id_type = df.select(id_col).schema.fields[0].dataType
+    # PACKED kernel output: one row per l_id with parallel (r_id, sim)
+    # arrays (grouped.pack_topk) — the merge exchange carries ~k-fold
+    # fewer rows for the same payload; bit-identical final pairs
     pair_schema = StructType(
         [
             StructField("l_id", id_type, True),
-            StructField("r_id", id_type, True),
-            StructField("sim", DoubleType(), False),
+            StructField("_r", ArrayType(id_type), True),
+            StructField("_s", ArrayType(DoubleType()), True),
         ]
     )
 
@@ -423,12 +428,12 @@ def lsh_candidates(
             out_r.append(ids[cols])
             out_s.append(sims[rows, cols])
         if not out_l:
-            return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
+            return pd.DataFrame({"l_id": [], "_r": [], "_s": []})
         # map-side combiner FUSED into the kernel call (the python-sort
         # grouped map hands the kernel its whole partition, so this IS the
         # per-partition local top-k) — the pairs never take an extra
         # Python<->JVM Arrow round-trip through a chained combiner pass
-        return _dedup_topk(
+        local = _dedup_topk(
             pd.DataFrame(
                 {
                     "l_id": np.concatenate(out_l),
@@ -438,18 +443,23 @@ def lsh_candidates(
             ),
             k, "l_id", "r_id", "sim", with_rank=False,
         )
+        if min_sim is not None:
+            # pre-merge row filter — commutes with the merge's dedup+topk,
+            # so filtering here (before packing) is identical to filtering
+            # the unpacked exchange rows
+            local = local[local["sim"].to_numpy() >= min_sim]
+        return pack_topk(local, "l_id", "r_id", "sim")
 
     pairs = grouped_map_in_pandas(
         joined, ["band", "bucket", "salt"], buckets_kernel, pair_schema,
         num_partitions=gather_partitions if use_broadcast else None,
     )
-    if min_sim is not None:
-        pairs = pairs.filter(F.col("sim") >= min_sim)
     # fused dedup + per-left top-K: one shuffle instead of the
     # dropDuplicates exchange + window exchange; combiner already applied
-    # inside the kernel
+    # inside the kernel, min_sim already applied pre-pack
     return topk_per_key(
-        pairs, k, key="l_id", other="r_id", sim="sim", pre_combine=False
+        pairs, k, key="l_id", other="r_id", sim="sim", pre_combine=False,
+        packed_input=True,
     )
 
 
