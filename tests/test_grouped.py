@@ -168,3 +168,97 @@ def test_lsh_candidates_pre_combine_lock(spark):
         lsh_mod.topk_per_key = orig
     assert with_combine == without
     assert len(with_combine) > 0
+
+
+def test_pack_unpack_topk_roundtrip():
+    """The packed merge transport (pack_topk -> _unpack_topk) must be an
+    exact inverse on _dedup_topk output — int keys, string keys, the empty
+    frame, and a post-min_sim-filtered frame (rows removed mid-group but
+    key-contiguity preserved)."""
+    from deepblocker_spark.operators.grouped import (
+        _dedup_topk, _unpack_topk, pack_topk,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 500
+    base = pd.DataFrame({
+        "l_id": rng.integers(0, 40, n),
+        "r_id": rng.integers(0, 80, n),
+        "sim": np.round(rng.random(n), 6),
+    })
+    key = lambda d: sorted(  # noqa: E731
+        map(tuple, d[["l_id", "r_id", "sim"]].values.tolist())
+    )
+
+    local = _dedup_topk(base, 7, "l_id", "r_id", "sim", with_rank=False)
+    back = _unpack_topk(pack_topk(local, "l_id", "r_id", "sim"),
+                        "l_id", "r_id", "sim")
+    assert key(back) == key(local)
+
+    # string ids (object dtype arrays through pack/concatenate)
+    s = base.assign(l_id=["d-%03d" % i for i in base["l_id"]],
+                    r_id=["d-%03d" % i for i in base["r_id"]])
+    local_s = _dedup_topk(s, 7, "l_id", "r_id", "sim", with_rank=False)
+    back_s = _unpack_topk(pack_topk(local_s, "l_id", "r_id", "sim"),
+                          "l_id", "r_id", "sim")
+    assert key(back_s) == key(local_s)
+
+    # min_sim-style row filter between dedup and pack (lsh.py:452)
+    filt = local[local["sim"].to_numpy() >= 0.5]
+    back_f = _unpack_topk(pack_topk(filt, "l_id", "r_id", "sim"),
+                          "l_id", "r_id", "sim")
+    assert key(back_f) == key(filt)
+
+    # empty frame
+    empty = local.head(0)
+    packed_e = pack_topk(empty, "l_id", "r_id", "sim")
+    assert len(packed_e) == 0
+    assert len(_unpack_topk(packed_e, "l_id", "r_id", "sim")) == 0
+
+
+def test_topk_per_key_packed_input_identical_output(tiny_batch_spark):
+    """Packed transport parity at the Spark level: per-partition local
+    top-k -> pack_topk -> topk_per_key(packed_input=True) must equal the
+    plain scalar-row path on the same pairs, across partitions and with
+    duplicated pairs (the LSH multi-band shape)."""
+    from pyspark.sql.types import ArrayType
+
+    from deepblocker_spark.operators.grouped import _dedup_topk, pack_topk
+
+    spark = tiny_batch_spark
+    rng = np.random.default_rng(23)
+    n = 600
+    pdf = pd.DataFrame({
+        "l_id": rng.integers(0, 25, n),
+        "r_id": rng.integers(0, 50, n),
+        "sim": np.round(rng.random(n), 6),
+    })
+    both = pd.concat([pdf, pdf.head(60)], ignore_index=True)
+    df = spark.createDataFrame(both).repartition(13)
+
+    plain = topk_per_key(df, k=5, pre_combine=False).toPandas()
+
+    packed_schema = StructType([
+        StructField("l_id", LongType(), True),
+        StructField("_r", ArrayType(LongType()), True),
+        StructField("_s", ArrayType(DoubleType()), True),
+    ])
+
+    def local_pack(batches):
+        for b in batches:
+            if len(b):
+                yield pack_topk(
+                    _dedup_topk(b, 5, "l_id", "r_id", "sim", with_rank=False),
+                    "l_id", "r_id", "sim",
+                )
+
+    packed = df.mapInPandas(local_pack, packed_schema)
+    got = topk_per_key(
+        packed, k=5, pre_combine=False, packed_input=True
+    ).toPandas()
+
+    key = lambda d: sorted(  # noqa: E731
+        map(tuple, d[["l_id", "r_id", "sim", "rank"]].values.tolist())
+    )
+    assert key(got) == key(plain)
+    assert len(got) > 0
