@@ -548,6 +548,17 @@ def q_cluster_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # star clustering over the near-dup similarity graph — the chain-safe
+    # alternative to cc_components (centers = neighborhood degree maxima,
+    # members attach to their best center neighbor). Integer-scaled sims
+    # make degrees order-independent, so this is a full value oracle.
+    from deepblocker_spark.operators.cluster import star_clusters
+
+    pairs = q_emb_neardup(spark, sf_dir)
+    return star_clusters(pairs, a_col="a", b_col="b", sim_col="cos")
+
+
 def q_golden_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O28-O30: filter labeled splits to label==1, union, project
     orders = _t(spark, sf_dir, "orders").select(
@@ -918,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
+        "star_clusters": q_star_clusters,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
         "mktsegment_orders": q_mktsegment_orders,
@@ -1419,6 +1431,44 @@ from directed d join thresholds t on d.node = t.node
 where weight >= meanw - 1e-9
 """
 
+    # star clustering oracle: the one-pass spec verbatim — integer-scaled
+    # sims (exact degree sums in both engines), centers = closed-
+    # neighborhood (degree desc, id asc) maxima, attach by (sim desc,
+    # center asc), dominated-by-non-centers nodes become singletons.
+    star_sql = f"""
+with p as (
+  select a as u, b as v, cast(round(cos * 1000000, 0) as bigint) as s
+  from ({neardup_sql})
+), sym as (
+  select u, v, max(s) as s from (
+    select u, v, s from p union all select v as u, u as v, s from p
+  ) group by u, v
+), deg as (
+  select u, sum(s) as deg_u from sym group by u
+), nb as (
+  select sym.u, sym.v, sym.s, du.deg_u, dv.deg_u as deg_v
+  from sym join deg du on sym.u = du.u join deg dv on sym.v = dv.u
+), flags as (
+  select u, max(case when deg_v > deg_u or (deg_v = deg_u and v < u)
+                     then 1 else 0 end) as beaten
+  from nb group by u
+), centers as (
+  select u from flags where beaten = 0
+), attach as (
+  select u, v as center,
+         row_number() over (partition by u order by s desc, v asc) as rn
+  from nb
+  where u in (select u from flags where beaten = 1)
+    and v in (select u from centers)
+)
+select u as id, u as center from centers
+union all
+select u as id, center from attach where rn = 1
+union all
+select u as id, u as center from flags
+where beaten = 1 and u not in (select u from attach)
+"""
+
     # field-level survivorship oracle: same deterministic tie-breaks as the
     # engine (longest: greatest length then greatest value, NULLs lose;
     # mode: most frequent then smallest value over non-NULLs; first: value
@@ -1610,6 +1660,7 @@ from th left join hits using (threshold) cross join ng
 """,
         "cluster_canonical": canonical_sql,
         "cluster_fusion": fusion_sql,
+        "star_clusters": star_sql,
         "golden_etl": """
 select o_custkey as ltable_id, o_orderkey as rtable_id
 from orders

@@ -283,3 +283,93 @@ def fuse_clusters(
         )
         out = out.join(winner, "component", "left")
     return out
+
+
+def star_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    sim_col: str = "sim",
+    sim_scale: int = 1_000_000,
+) -> DataFrame:
+    """Star clustering (Aslam/Pelekhov/Rus) over a scored similarity graph
+    — the standard ER alternative to connected components when transitive
+    closure over-merges (CC glues two entities through ONE noisy edge; a
+    star cluster is anchored to a high-degree center, so chains break).
+    No reference counterpart (the reference stops at candidate pairs).
+
+    -> DataFrame(id, center): every node of the graph appears exactly
+    once; a cluster is the set of rows sharing a center.
+
+    This is the deterministic ONE-PASS parallel variant (the classical
+    formulation picks centers sequentially by descending degree, which is
+    inherently serial):
+
+      1. weighted degree  d(u) = Σ sims of u's incident edges;
+      2. u is a CENTER iff it is the (degree desc, id asc) lexicographic
+         maximum of its closed neighborhood — no neighbor beats it;
+      3. every non-center attaches to its best center neighbor by
+         (sim desc, center id asc); a non-center whose neighbors are all
+         non-centers (its dominator was itself dominated elsewhere)
+         becomes a singleton — the documented divergence from the
+         sequential greedy, which would have attached it in a later turn.
+
+    Degrees and tie-breaks drive cluster membership, so they must be
+    bit-stable across aggregation orders: sims are scaled by ``sim_scale``
+    and SUMMED AS INTEGERS (float partial-agg order differs between runs
+    and engines; integer sums do not). Plan: two hash aggs + two
+    shuffle joins + one window — no iteration, no driver state, every
+    stage key-partitioned (scales like the meta-blocking operators).
+    """
+    from pyspark.sql import Window
+
+    e = pairs.select(
+        F.col(a_col).alias("u"),
+        F.col(b_col).alias("v"),
+        F.round(F.col(sim_col) * sim_scale, 0).cast("long").alias("s"),
+    )
+    # symmetrize; keep-max dedups a pair fed in both orientations
+    sym = (
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"), "s")
+        )
+        .groupBy("u", "v")
+        .agg(F.max("s").alias("s"))
+    )
+    deg = sym.groupBy("u").agg(F.sum("s").alias("deg_u"))
+    nb = sym.join(deg, "u").join(
+        deg.select(F.col("u").alias("v"), F.col("deg_u").alias("deg_v")),
+        "v",
+    )
+    beaten = F.max(
+        F.when(
+            (F.col("deg_v") > F.col("deg_u"))
+            | ((F.col("deg_v") == F.col("deg_u")) & (F.col("v") < F.col("u"))),
+            1,
+        ).otherwise(0)
+    ).alias("beaten")
+    flags = nb.groupBy("u").agg(beaten)
+    centers = flags.filter(F.col("beaten") == 0).select("u")
+    noncenters = flags.filter(F.col("beaten") == 1).select("u")
+
+    # best center neighbor per non-center; orphans fall through to selves
+    cand = (
+        sym.join(noncenters, "u")
+        .join(centers.withColumnRenamed("u", "v"), "v")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("u").orderBy(F.desc("s"), F.asc("v"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("u", F.col("v").alias("center"))
+    )
+    orphans = noncenters.join(cand.select("u"), "u", "left_anti")
+    return (
+        centers.select(F.col("u").alias("id"), F.col("u").alias("center"))
+        .unionByName(cand.select(F.col("u").alias("id"), "center"))
+        .unionByName(
+            orphans.select(F.col("u").alias("id"), F.col("u").alias("center"))
+        )
+    )
