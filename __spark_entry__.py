@@ -559,6 +559,47 @@ def q_star_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return star_clusters(pairs, a_col="a", b_col="b", sim_col="cos")
 
 
+def _pred_gold_assignments(spark: SparkSession, sf_dir: str):
+    # shared by cluster_eval / group_linkage: predicted clustering = the
+    # transitive near-dup components over the FULL embeddings universe
+    # (unclustered rows are singletons = own id); gold clustering = the
+    # generator's label column.
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = q_cc_components(spark, sf_dir)
+    pred = (
+        emb.select(F.col("vec_id").alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    gold = emb.select(
+        F.col("vec_id").alias("id"), F.col("label").alias("gold_cluster")
+    )
+    return pred, gold
+
+
+def q_cluster_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cluster-LEVEL evaluation (the stage pairwise_f1/knn_recall don't
+    # cover): B-cubed P/R/F1 + Rand/adjusted-Rand of the transitive
+    # clustering against the gold labels, all reduced over the pred×gold
+    # contingency table. Full value oracle.
+    from deepblocker_spark.operators.metrics import clustering_eval
+
+    pred, gold = _pred_gold_assignments(spark, sf_dir)
+    return clustering_eval(pred, gold)
+
+
+def q_group_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # group linkage: align predicted clusters onto gold clusters by member
+    # Jaccard — the cluster-to-cluster join incremental ER uses to map new
+    # clusters onto resolved entities. Full value oracle.
+    from deepblocker_spark.operators.cluster import group_linkage
+
+    pred, gold = _pred_gold_assignments(spark, sf_dir)
+    return group_linkage(
+        pred, gold, left_cluster="component", right_cluster="gold_cluster"
+    )
+
+
 def q_golden_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O28-O30: filter labeled splits to label==1, union, project
     orders = _t(spark, sf_dir, "orders").select(
@@ -930,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
         "star_clusters": q_star_clusters,
+        "cluster_eval": q_cluster_eval,
+        "group_linkage": q_group_linkage,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
         "mktsegment_orders": q_mktsegment_orders,
@@ -1234,6 +1277,76 @@ with recursive pairs as (
   from reach join sym on reach.r = sym.a
 )
 select id, min(r) as component from reach group by id
+"""
+
+    # pred×gold assignment shared by cluster_eval / group_linkage: the cc
+    # clustering extended to the full embeddings universe (singletons =
+    # own id) against the generator labels.
+    _assign_cte = """
+with recursive pairs as (
+  select a.vec_id as a, b.vec_id as b
+  from embeddings a, embeddings b
+  where a.vec_id < b.vec_id
+    and list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+), sym as (
+  select a, b from pairs union select b, a from pairs
+), nodes as (
+  select distinct a as id from sym
+), reach as (
+  select id, id as r from nodes
+  union
+  select reach.id, sym.b as r
+  from reach join sym on reach.r = sym.a
+), comp as (
+  select id, min(r) as component from reach group by id
+), assign as (
+  select e.vec_id as id,
+         coalesce(c.component, e.vec_id) as pc,
+         e.label as gc
+  from embeddings e left join comp c on e.vec_id = c.id
+)"""
+
+    cluster_eval_sql = f"""{_assign_cte},
+cont as (select pc, gc, count(*)::DOUBLE as nij from assign group by pc, gc),
+rs as (select pc, sum(nij) as ni from cont group by pc),
+cs as (select gc, sum(nij) as nj from cont group by gc),
+s as (
+  select sum(nij) as n,
+         sum(nij*nij/ni) as sp,
+         sum(nij*nij/nj) as sr,
+         sum(nij*(nij-1)/2) as aij
+  from cont join rs using (pc) join cs using (gc)
+),
+m as (
+  select n, sp, sr, aij,
+         (select sum(ni*(ni-1)/2) from rs) as ai,
+         (select count(*) from rs) as npc,
+         (select sum(nj*(nj-1)/2) from cs) as aj,
+         (select count(*) from cs) as ngc,
+         n*(n-1)/2 as npairs
+  from s
+)
+select n::BIGINT as n_items,
+       npc::BIGINT as n_pred_clusters,
+       ngc::BIGINT as n_gold_clusters,
+       round(case when n > 0 then sp/n end, 9) as bcubed_precision,
+       round(case when n > 0 then sr/n end, 9) as bcubed_recall,
+       round(case when sp + sr > 0 then 2*sp*sr/(n*(sp+sr)) end, 9) as bcubed_f1,
+       round(case when npairs > 0
+                  then (npairs + 2*aij - ai - aj)/npairs end, 9) as rand_index,
+       round(case when npairs > 0 and (ai+aj)/2 - ai*aj/npairs <> 0
+                  then (aij - ai*aj/npairs) / ((ai+aj)/2 - ai*aj/npairs)
+             end, 9) as adjusted_rand
+from m
+"""
+
+    group_linkage_sql = f"""{_assign_cte},
+inter as (select pc, gc, count(*)::BIGINT as n_common from assign group by pc, gc),
+lsz as (select pc, count(*)::BIGINT as l_size from assign group by pc),
+rsz as (select gc, count(*)::BIGINT as r_size from assign group by gc)
+select i.pc as l_cluster, i.gc as r_cluster, l_size, r_size, n_common,
+       round(n_common::DOUBLE / (l_size + r_size - n_common), 9) as jaccard
+from inter i join lsz using (pc) join rsz using (gc)
 """
 
     key_blocking_sql = """
@@ -1585,6 +1698,8 @@ from u group by a, b
         "emb_neardup": neardup_sql,
         "knn_recall": knn_recall_sql,
         "cc_components": cc_sql,
+        "cluster_eval": cluster_eval_sql,
+        "group_linkage": group_linkage_sql,
         "key_blocking": key_blocking_sql,
         "edit_join": edit_join_sql,
         "edit_join_dyadic": edit_join_dyadic_sql,

@@ -373,3 +373,57 @@ def star_clusters(
             orphans.select(F.col("u").alias("id"), F.col("u").alias("center"))
         )
     )
+
+
+def group_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "id",
+    left_cluster: str = "component",
+    right_cluster: str = "component",
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Group linkage (On et al., ICDE'07 shape): align the CLUSTERS of two
+    clusterings over a shared id universe by member overlap — for each
+    (left cluster, right cluster) pair with at least one common member,
+    the Jaccard of their member sets. This is the cluster-to-cluster join
+    an incremental ER pipeline runs to map a fresh batch's clusters onto
+    the existing resolved entities (and the per-cluster-pair view whose
+    global reduction is ``metrics.clustering_eval``). No reference
+    counterpart — the reference stops at candidate pairs.
+
+    -> DataFrame(l_cluster, r_cluster, l_size, r_size, n_common, jaccard),
+    jaccard = n_common / (l_size + r_size - n_common), rounded to 9,
+    filtered to >= ``min_jaccard``.
+
+    Scale shape: ONE row-scale shuffle (the equi-join on id), one hash agg
+    to the overlap table, then joins on cluster keys against the two
+    cluster-size aggregates — ≤ #clusters rows each, AQE broadcasts them.
+    No collect, no UDF, no cross product: cluster pairs with zero common
+    members never materialize.
+    """
+    l = left.select(F.col(id_col).alias("_id"), F.col(left_cluster).alias("l_cluster"))
+    r = right.select(F.col(id_col).alias("_id"), F.col(right_cluster).alias("r_cluster"))
+    inter = (
+        l.join(r, "_id")
+        .groupBy("l_cluster", "r_cluster")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    lsz = l.groupBy("l_cluster").agg(F.count("*").cast("long").alias("l_size"))
+    rsz = r.groupBy("r_cluster").agg(F.count("*").cast("long").alias("r_size"))
+    out = (
+        inter.join(lsz, "l_cluster")
+        .join(rsz, "r_cluster")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("l_size") + F.col("r_size") - F.col("n_common")),
+                9,
+            ),
+        )
+        .select("l_cluster", "r_cluster", "l_size", "r_size", "n_common", "jaccard")
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

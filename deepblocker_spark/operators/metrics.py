@@ -85,6 +85,100 @@ def pairwise_f1(
     )
 
 
+def clustering_eval(
+    predicted: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "component",
+    gold_col: str = "gold_cluster",
+) -> DataFrame:
+    """Cluster-LEVEL evaluation of a predicted clustering against a gold
+    clustering over the same id universe: B-cubed precision/recall/F1
+    (Bagga & Baldwin 1998 — the standard ER clustering metric, robust to
+    cluster-size skew where pairwise F1 is quadratically dominated by big
+    clusters) plus Rand index and adjusted Rand index. No reference
+    counterpart — the reference stops at candidate pairs; this closes the
+    loop for the clustering stage the way ``pairwise_f1`` does for pairs.
+
+    -> single row (n_items, n_pred_clusters, n_gold_clusters,
+    bcubed_precision, bcubed_recall, bcubed_f1, rand_index, adjusted_rand).
+
+    Everything reduces over the pred×gold CONTINGENCY table: with
+    n_ij = |pred cluster i ∩ gold cluster j|, n_i. and n_.j the cluster
+    sizes and N the item count,
+      B³P = Σ_ij n_ij²/n_i. / N          B³R = Σ_ij n_ij²/n_.j / N
+      RI  = (C(N,2) + 2Σ C(n_ij,2) − Σ C(n_i.,2) − Σ C(n_.j,2)) / C(N,2)
+      ARI = (Σ C(n_ij,2) − E) / ((Σ C(n_i.,2)+Σ C(n_.j,2))/2 − E),
+            E = Σ C(n_i.,2) · Σ C(n_.j,2) / C(N,2)
+    Scale shape: one equi-join on id (the only row-scale shuffle), then one
+    hash agg to the contingency table — everything after runs on ≤
+    #clusters² rows. Cluster-size frames join back on the cluster key;
+    at realistic cluster counts AQE broadcasts them. No collect, no UDF.
+    Zero denominators (empty input; ARI on two identical trivial
+    clusterings) yield NULL, mirrored by the oracle's CASE guards.
+    """
+    p = predicted.select(F.col(id_col).alias("_id"), F.col(pred_col).alias("_pc"))
+    g = gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_gc"))
+    cont = (
+        p.join(g, "_id")
+        .groupBy("_pc", "_gc")
+        .agg(F.count("*").cast("double").alias("_nij"))
+    )
+    rows = cont.groupBy("_pc").agg(F.sum("_nij").alias("_ni"))
+    cols = cont.groupBy("_gc").agg(F.sum("_nij").alias("_nj"))
+    joined = cont.join(rows, "_pc").join(cols, "_gc")
+    sums = joined.agg(
+        F.sum("_nij").alias("_n"),
+        F.sum(F.col("_nij") * F.col("_nij") / F.col("_ni")).alias("_sp"),
+        F.sum(F.col("_nij") * F.col("_nij") / F.col("_nj")).alias("_sr"),
+        F.sum(F.col("_nij") * (F.col("_nij") - 1) / 2).alias("_aij"),
+    )
+    ai = rows.agg(
+        F.sum(F.col("_ni") * (F.col("_ni") - 1) / 2).alias("_ai"),
+        F.count("*").alias("_npc"),
+    )
+    aj = cols.agg(
+        F.sum(F.col("_nj") * (F.col("_nj") - 1) / 2).alias("_aj"),
+        F.count("*").alias("_ngc"),
+    )
+    m = sums.crossJoin(ai).crossJoin(aj)
+    npairs = F.col("_n") * (F.col("_n") - 1) / 2
+    # try_divide: NULL (not an ANSI error) when npairs=0 — this division is
+    # the one evaluated OUTSIDE a CASE guard (it feeds the guard itself)
+    exp = F.try_divide(F.col("_ai") * F.col("_aj"), npairs)
+    ari_den = (F.col("_ai") + F.col("_aj")) / 2 - exp
+    return m.select(
+        F.col("_n").cast("long").alias("n_items"),
+        F.col("_npc").cast("long").alias("n_pred_clusters"),
+        F.col("_ngc").cast("long").alias("n_gold_clusters"),
+        F.round(
+            F.when(F.col("_n") > 0, F.col("_sp") / F.col("_n")), 9
+        ).alias("bcubed_precision"),
+        F.round(
+            F.when(F.col("_n") > 0, F.col("_sr") / F.col("_n")), 9
+        ).alias("bcubed_recall"),
+        F.round(
+            F.when(
+                F.col("_sp") + F.col("_sr") > 0,
+                2 * F.col("_sp") * F.col("_sr")
+                / (F.col("_n") * (F.col("_sp") + F.col("_sr"))),
+            ),
+            9,
+        ).alias("bcubed_f1"),
+        F.round(
+            F.when(
+                npairs > 0,
+                (npairs + 2 * F.col("_aij") - F.col("_ai") - F.col("_aj"))
+                / npairs,
+            ),
+            9,
+        ).alias("rand_index"),
+        F.round(
+            F.when(ari_den != 0, (F.col("_aij") - exp) / ari_den), 9
+        ).alias("adjusted_rand"),
+    )
+
+
 def threshold_sweep(
     scored: DataFrame,
     golden: DataFrame,
