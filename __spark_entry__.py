@@ -399,6 +399,33 @@ def q_meta_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta_blocking_pairs(blocks, ratio=0.5, scheme="ECBS", prune="WEP")
 
 
+def q_progressive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # progressive ER: best-first emission of the meta-blocking weighted
+    # candidates under a 500-comparison budget — TakeOrderedAndProject
+    # (bounded heaps + driver merge), not a global sort. Deterministic
+    # (weight desc, a, b) total order makes the boundary engine-
+    # independent. Full value oracle.
+    from deepblocker_spark.operators.metablocking import progressive_pairs
+
+    return progressive_pairs(q_meta_blocking(spark, sf_dir), budget=500)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic stratified corpus down-sampling: per-language rates
+    # via an md5(doc_id) hex cutoff — same row set on any engine/cluster
+    # (reproducible curation, unlike df.sample). One scan + broadcast
+    # rates join, no shuffle. Full value oracle.
+    from deepblocker_spark.operators.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_hash_sample(
+        docs,
+        ["lang"],
+        {"en": 0.25, "zh": 0.5, "es": 1.0, "de": 0.125, "fr": 0.75},
+        id_col="doc_id",
+    )
+
+
 def q_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluation harness: PR-curve of the minhash candidate set against a
     # deterministic pseudo-golden set (docs sharing a 32-char text prefix)
@@ -967,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_blocking_dyadic": q_meta_blocking_dyadic,
         "mutual_best_match": q_mutual_best_match,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "progressive_pairs": q_progressive_pairs,
+        "stratified_sample": q_stratified_sample,
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
@@ -1466,6 +1495,29 @@ m as (select avg(weight) as meanw from weighted)
 select a, b, cbs, weight from weighted, m where weight >= meanw - 1e-9
 """
 
+    progressive_pairs_sql = f"""{meta_weighted_cte},
+m as (select avg(weight) as meanw from weighted),
+pruned as (select a, b, weight from weighted, m where weight >= meanw - 1e-9),
+ranked as (
+  select a, b, weight,
+         row_number() over (order by weight desc, a asc, b asc) as rank
+  from pruned
+)
+select a, b, weight, rank::INT as rank from ranked where rank <= 500
+"""
+
+    stratified_sample_sql = """
+with c as (
+  select * from (values
+    ('en', '400000'), ('zh', '800000'), ('es', 'g'),
+    ('de', '200000'), ('fr', 'c00000')
+  ) as t(lang, cutoff)
+)
+select d.doc_id, d.lang, d.n_chars
+from documents d join c using (lang)
+where substr(md5(d.doc_id::VARCHAR), 1, 6) < c.cutoff
+"""
+
     # CNP: undirected edge -> both directions, row_number per node by
     # (weight desc, neighbor asc), edge kept if either endpoint ranks it
     # in its top-5; distinct collapses the two directions (cbs/weight are
@@ -1714,6 +1766,8 @@ from documents group by lang, source having count(*) > 8
         "meta_blocking_cnp": meta_blocking_cnp_sql,
         "meta_blocking_wnp": meta_blocking_wnp_sql,
         "meta_blocking_dyadic": meta_blocking_dyadic_sql,
+        "progressive_pairs": progressive_pairs_sql,
+        "stratified_sample": stratified_sample_sql,
         "mutual_best_match": f"""
 with edges as ({minhash_pairs_sql}),
 directed as (

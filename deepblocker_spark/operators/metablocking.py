@@ -406,3 +406,40 @@ def meta_blocking_pairs_dyadic(
     return weighted.crossJoin(F.broadcast(mean)).filter(
         F.col("weight") >= F.col("_mean") - F.lit(1e-9)
     ).select("a", "b", "cbs", "weight")
+
+
+def progressive_pairs(
+    scored: DataFrame,
+    budget: int,
+    score_col: str = "weight",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Progressive ER (Whang et al. ICDE'13 / Papenbrock's progressive
+    blocking): emit candidate pairs BEST-FIRST under a comparison budget,
+    so a pipeline that is stopped early has always matched the most
+    promising pairs first. Applied to any scored pair set (meta-blocking
+    weights, LSH jaccards, cosine scores).
+
+    -> DataFrame(a_col, b_col, score_col, rank), the ``budget``
+    highest-scored pairs, rank 1..budget by (score desc, a asc, b asc) —
+    the deterministic total order makes the boundary tie-break, and
+    therefore the emitted SET, engine-independent (full value oracle).
+
+    Plan shape: orderBy+limit compiles to TakeOrderedAndProject — a
+    bounded per-partition heap + one driver merge of ≤budget rows per
+    partition, NOT a global sort-shuffle. The rank window then runs over
+    the ≤budget-row result (single partition by construction — bounded by
+    the budget, which is the operator's contract, so not a scale hazard).
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc(score_col), F.asc(a_col), F.asc(b_col)]
+    top = (
+        scored.select(a_col, b_col, score_col)
+        .orderBy(*order)
+        .limit(int(budget))
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order))
+    )
