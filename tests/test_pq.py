@@ -1,0 +1,96 @@
+"""Product-quantization ANN: codebook training, encoding, ADC top-k —
+recall measured against the exact top-k join on clustered synthetic
+vectors (the same harness shape as test_ann_dyadic)."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from deepblocker_spark.operators.pq import encode_pq, pq_topk, pq_topk_join, train_pq
+from deepblocker_spark.operators.topk import exact_topk_join
+
+
+def _clustered(n_clusters=12, per=12, dim=32, seed=7):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    i = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + 0.08 * rng.normal(size=dim)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    return spark.createDataFrame(
+        _clustered(), "vec_id long, embedding array<float>"
+    ).cache()
+
+
+def test_train_shapes_and_validation(spark, vec_df):
+    books = train_pq(vec_df, m=4, n_codes=16, sample_rows=200)
+    assert books.shape == (4, 16, 8)
+    with pytest.raises(ValueError):
+        train_pq(vec_df, m=5, n_codes=16)  # 5 does not divide 32
+    with pytest.raises(ValueError):
+        train_pq(vec_df, m=4, n_codes=512)  # uint8 overflow
+
+
+def test_encode_deterministic_and_reconstruction_improves(spark, vec_df):
+    books16 = train_pq(vec_df, m=4, n_codes=16, sample_rows=200)
+    books64 = train_pq(vec_df, m=4, n_codes=64, sample_rows=200)
+    codes_a = {r[0]: r[1] for r in encode_pq(vec_df, books16).collect()}
+    codes_b = {r[0]: r[1] for r in encode_pq(vec_df, books16).collect()}
+    assert codes_a == codes_b  # deterministic
+    assert all(len(c) == 4 for c in codes_a.values())
+
+    # reconstruction error shrinks with a bigger codebook
+    def recon_err(books):
+        m, _, dsub = books.shape
+        codes = {r[0]: np.frombuffer(r[1], np.uint8) for r in
+                 encode_pq(vec_df, books).collect()}
+        pdf = vec_df.toPandas()
+        errs = []
+        for _, row in pdf.iterrows():
+            v = np.asarray(row.embedding, dtype=np.float64)
+            v /= np.linalg.norm(v)
+            rec = np.concatenate(
+                [books[j][codes[row.vec_id][j]] for j in range(m)]
+            )
+            errs.append(np.linalg.norm(v - rec))
+        return float(np.mean(errs))
+
+    assert recon_err(books64) < recon_err(books16)
+
+
+def test_pq_topk_recall_vs_exact(spark, vec_df):
+    exact = exact_topk_join(
+        vec_df, vec_df, k=5, l_id="vec_id", r_id="vec_id", exclude_self=True
+    )
+    approx = pq_topk(vec_df, k=10, m=8, n_codes=64)
+    ex = {(r.l_id, r.r_id) for r in exact.filter("sim >= 0.5").collect()}
+    ap = {(r.l_id, r.r_id) for r in approx.collect()}
+    assert ex, "regime must be non-empty"
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.95, f"recall {recall:.3f}"
+    # self pairs excluded, ranks within k and contiguous from 1
+    assert all(a != b for a, b in ap)
+    by_l = {}
+    for r in approx.collect():
+        by_l.setdefault(r.l_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_l.values())
+
+
+def test_pq_topk_dyadic_and_chunking(spark, vec_df):
+    left = vec_df.filter("vec_id % 2 = 0")
+    right = vec_df.filter("vec_id % 2 = 1")
+    one = pq_topk_join(left, right, k=3, m=8, n_codes=64)
+    many = pq_topk_join(left, right, k=3, m=8, n_codes=64, max_broadcast_rows=17)
+    a = {(r.l_id, r.r_id, r.rank) for r in one.collect()}
+    b = {(r.l_id, r.r_id, r.rank) for r in many.collect()}
+    assert a == b  # chunking must not change the result
+    assert all(r % 2 == 1 for _, r, _ in a)  # right ids only
