@@ -251,6 +251,51 @@ def main() -> None:
     )
     qs["suffix_blocking"] = m.queries()["suffix_blocking"]
 
+    # Stratified hash sampling (round 4): the per-stratum cutoff is a
+    # broadcast join + JVM md5/substring compare — no shuffle exchange, no
+    # Python nodes; scan pruned to exactly the selected columns.
+    audits["stratified_sample"] = (
+        ["BroadcastHashJoin", "!Exchange hashpartitioning",
+         "!BatchEvalPython", "!MapInPandas", "!ArrowEvalPython",
+         "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"],
+        "rates table broadcast; sampling predicate is a codegen md5/substr "
+        "string compare riding the scan — NO shuffle anywhere; scan pruned "
+        "to (doc_id, lang, n_chars)",
+    )
+    qs["stratified_sample"] = m.queries()["stratified_sample"]
+
+    # Progressive best-first emission (round 4): the budget compiles to
+    # TakeOrderedAndProject (bounded per-partition heaps + driver merge) —
+    # never a global Sort exchange over the full pair set.
+    audits["progressive_pairs"] = (
+        ["TakeOrderedAndProject", "!CartesianProduct"],
+        "orderBy+limit is TakeOrderedAndProject (bounded heaps), not a "
+        "global sort-shuffle of all weighted pairs",
+    )
+    qs["progressive_pairs"] = m.queries()["progressive_pairs"]
+
+    # Cluster-level evaluation (round 4): one id equi-join is the only
+    # row-scale operation; everything downstream is hash aggs over the
+    # contingency table; the three 1-row aggregate frames cross as
+    # broadcast nested loops, never a CartesianProduct.
+    audits["cluster_eval"] = (
+        ["!CartesianProduct", "BroadcastNestedLoopJoin", "HashAggregate"],
+        "row-scale work is one id equi-join + hash agg to the contingency "
+        "table; 1-row frames (sums, ai, aj) cross via broadcast nested "
+        "loop; no cartesian",
+    )
+    qs["cluster_eval"] = m.queries()["cluster_eval"]
+
+    # Group linkage (round 4): overlap + size frames are hash aggs; joins
+    # are equi-joins on the cluster keys — no cartesian (zero-overlap
+    # cluster pairs never materialize).
+    audits["group_linkage"] = (
+        ["!CartesianProduct", "HashAggregate"],
+        "member-overlap and cluster-size frames via hash aggs; cluster-key "
+        "equi-joins only — zero-overlap pairs never materialize",
+    )
+    qs["group_linkage"] = m.queries()["group_linkage"]
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
