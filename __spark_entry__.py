@@ -870,6 +870,34 @@ def q_pq_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVFADC (IVF cells + in-cell PQ/ADC — Jégou TPAMI'11 §IV) vs the
+    # exact top-K join: cells bound WHICH rows each query scores, codes
+    # bound WHAT travels. Same derived-property oracle as lsh/ivf/pq:
+    # recall over the exact-top-5 sim>=0.4 regime must be >= 0.95, regime
+    # size recomputed by DuckDB. Measured recall 0.962 (sf0.001) / 0.975
+    # (sf0.01) at n_cells=8, nprobe=6 (the flat-IVF query's probe setting),
+    # m=8 x 256 codes; nprobe=8 (probe-all) measures 1.0 / 0.992 — the
+    # residual is cell-boundary misses plus ADC quantization, by design.
+    from deepblocker_spark.operators.pq import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = ivf_pq_topk(emb, k=10, id_col="vec_id", emb_col="embedding",
+                         n_cells=8, nprobe=6, m=8, n_codes=256)
+    exact = exact_topk_join(emb, emb, k=5, l_id="vec_id", r_id="vec_id",
+                            exclude_self=True)
+    hi = exact.filter(F.col("sim") >= 0.4)
+    hits = hi.join(approx.select("l_id", "r_id"), ["l_id", "r_id"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("_hits"))
+        .crossJoin(hi.agg(F.count("*").alias("_n")))
+        .select(
+            (F.col("_hits") >= F.col("_n") * 0.95).cast("bigint").alias("recall_ok"),
+            F.col("_n").cast("bigint").alias("n_highsim_pairs"),
+        )
+    )
+
+
 def q_ivf_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF-flat ANN vs the exact top-K join. Centroids come from driver-side
     # spherical k-means on a seeded deterministic sample (not
@@ -1045,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_orders": q_monthly_orders,
         "lsh_topk_emb": q_lsh_topk_emb,
         "pq_topk_emb": q_pq_topk_emb,
+        "ivfpq_topk_emb": q_ivfpq_topk_emb,
         "ivf_topk_emb": q_ivf_topk_emb,
         "simhash_docs": q_simhash_docs,
         "cand_jw_scores": q_cand_jw_scores,
@@ -1993,6 +2022,23 @@ from ranked where rank <= 5 and s >= 0.4
         # to lsh_topk_emb (the PQ codebooks are seeded per-subspace k-means,
         # not SQL-expressible; DuckDB recomputes the exact near-dup regime).
         "pq_topk_emb": """
+with sims as (
+  select a.vec_id as l_id, b.vec_id as r_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s
+  from embeddings a, embeddings b
+  where a.vec_id <> b.vec_id
+), ranked as (
+  select l_id, r_id, s,
+         row_number() over (partition by l_id order by s desc, r_id asc) as rank
+  from sims
+)
+select 1::BIGINT as recall_ok, count(*)::BIGINT as n_highsim_pairs
+from ranked where rank <= 5 and s >= 0.4
+""",
+        # ivfpq_topk_emb: derived-property oracle — identical regime to the
+        # other ANN queries (IVFADC's centroids/codebooks are seeded
+        # k-means, not SQL-expressible).
+        "ivfpq_topk_emb": """
 with sims as (
   select a.vec_id as l_id, b.vec_id as r_id,
          list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s

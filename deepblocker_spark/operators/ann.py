@@ -198,6 +198,65 @@ def _auto_n_cells(rows: int) -> int:
     return min(4096, max(16, int(rows ** 0.5)))
 
 
+def grid_salt_split(assigned: DataFrame, max_cell_rows: int) -> DataFrame:
+    """SQ×SI grid split of oversized cells over a role-tagged assignment
+    frame (_id, cell, _role, _emb) — extracted from ``_ivf_pairs`` so
+    ivf-flat and ivf-pq (operators/pq.py) share it. A cell whose query or
+    index role exceeds ``max_cell_rows`` fans out into (cell, salt_q,
+    salt_i) tasks: each query row lands in its hash split salt_q and is
+    replicated across all SI index splits (index rows symmetrically), so
+    every (query, index) pair is examined exactly once — bounded tasks,
+    ZERO recall loss. Healthy cells keep literal-zero salts (no join in
+    the plan when nothing is oversized). ``assigned`` must already be
+    persisted (it is consumed twice: size agg + kernel)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    over = (
+        assigned.select("cell", "_role")
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(F.col("_role") == 1, 1).otherwise(0)).alias("nq"),
+            F.sum(F.when(F.col("_role") == 0, 1).otherwise(0)).alias("ni"),
+        )
+        .filter((F.col("nq") > max_cell_rows) | (F.col("ni") > max_cell_rows))
+        .collect()
+    )
+    if over:
+        ceil = lambda n: -(-int(n) // max_cell_rows)  # noqa: E731
+        splits = assigned.sparkSession.createDataFrame(
+            [(int(r["cell"]), max(1, ceil(r["nq"])), max(1, ceil(r["ni"]))) for r in over],
+            StructType(
+                [
+                    StructField("cell", IntegerType(), False),
+                    StructField("_sq", IntegerType(), False),
+                    StructField("_si", IntegerType(), False),
+                ]
+            ),
+        )
+        is_q = F.col("_role") == 1
+        return (
+            assigned.join(F.broadcast(splits), ["cell"], "left")
+            .withColumn("_own", F.coalesce(F.when(is_q, F.col("_sq")).otherwise(F.col("_si")), F.lit(1)))
+            .withColumn("_other", F.coalesce(F.when(is_q, F.col("_si")).otherwise(F.col("_sq")), F.lit(1)))
+            .withColumn("_my", F.pmod(F.xxhash64(F.col("_id")), F.col("_own")).cast("int"))
+            .withColumn(
+                "_rep",
+                F.explode(F.sequence(F.lit(0), (F.col("_other") - 1).cast("int"))),
+            )
+            .select(
+                "_id", "cell",
+                F.when(is_q, F.col("_my")).otherwise(F.col("_rep")).alias("salt_q"),
+                F.when(is_q, F.col("_rep")).otherwise(F.col("_my")).alias("salt_i"),
+                "_role", "_emb",
+            )
+        )
+    return assigned.select(
+        "_id", "cell",
+        F.lit(0).alias("salt_q"), F.lit(0).alias("salt_i"),
+        "_role", "_emb",
+    )
+
+
 def _ivf_pairs(
     assigned: DataFrame,
     k: int,
@@ -242,51 +301,7 @@ def _ivf_pairs(
 
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     _ASSIGN_CACHES.append(assigned)
-    over = (
-        assigned.select("cell", "_role")
-        .groupBy("cell")
-        .agg(
-            F.sum(F.when(F.col("_role") == 1, 1).otherwise(0)).alias("nq"),
-            F.sum(F.when(F.col("_role") == 0, 1).otherwise(0)).alias("ni"),
-        )
-        .filter((F.col("nq") > max_cell_rows) | (F.col("ni") > max_cell_rows))
-        .collect()
-    )
-    if over:
-        ceil = lambda n: -(-int(n) // max_cell_rows)  # noqa: E731
-        splits = assigned.sparkSession.createDataFrame(
-            [(int(r["cell"]), max(1, ceil(r["nq"])), max(1, ceil(r["ni"]))) for r in over],
-            StructType(
-                [
-                    StructField("cell", IntegerType(), False),
-                    StructField("_sq", IntegerType(), False),
-                    StructField("_si", IntegerType(), False),
-                ]
-            ),
-        )
-        is_q = F.col("_role") == 1
-        salted = (
-            assigned.join(F.broadcast(splits), ["cell"], "left")
-            .withColumn("_own", F.coalesce(F.when(is_q, F.col("_sq")).otherwise(F.col("_si")), F.lit(1)))
-            .withColumn("_other", F.coalesce(F.when(is_q, F.col("_si")).otherwise(F.col("_sq")), F.lit(1)))
-            .withColumn("_my", F.pmod(F.xxhash64(F.col("_id")), F.col("_own")).cast("int"))
-            .withColumn(
-                "_rep",
-                F.explode(F.sequence(F.lit(0), (F.col("_other") - 1).cast("int"))),
-            )
-            .select(
-                "_id", "cell",
-                F.when(is_q, F.col("_my")).otherwise(F.col("_rep")).alias("salt_q"),
-                F.when(is_q, F.col("_rep")).otherwise(F.col("_my")).alias("salt_i"),
-                "_role", "_emb",
-            )
-        )
-    else:
-        salted = assigned.select(
-            "_id", "cell",
-            F.lit(0).alias("salt_q"), F.lit(0).alias("salt_i"),
-            "_role", "_emb",
-        )
+    salted = grid_salt_split(assigned, max_cell_rows)
 
     pair_schema = StructType(
         [

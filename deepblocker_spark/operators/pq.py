@@ -262,3 +262,260 @@ def pq_topk(
         df, df, k, l_id=id_col, r_id=id_col, emb_col=emb_col,
         exclude_self=True, **kw,
     )
+
+
+def _assign_cells_pq(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    cents_bc,
+    books_bc,
+    nprobe: int,
+    emit_home: bool,
+    emit_probes: bool,
+):
+    """IVFADC cell assignment: role-tagged like ann._assign_cells, but the
+    payload differs per role — INDEX rows (role 0, home cell) carry the
+    m-byte PQ CODE, QUERY rows (role 1, nprobe closest cells) carry the
+    raw f32 vector. Codes are computed inline in this same pass (broadcast
+    codebooks), so there is no separate encode job or join. Self-search
+    emits both roles from ONE scan."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
+    from deepblocker_spark.operators.topk import normalize_rows
+
+    id_type = df.select(id_col).schema.fields[0].dataType
+    schema = StructType(
+        [
+            StructField("_id", id_type, True),
+            StructField("cell", IntegerType(), False),
+            StructField("_role", IntegerType(), False),
+            StructField("_emb", BinaryType(), True),
+        ]
+    )
+
+    def assign(batches):
+        cents = cents_bc.value
+        books = books_bc.value
+        m, _, dsub = books.shape
+        half_norms = [0.5 * (books[j] * books[j]).sum(axis=1) for j in range(m)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x_arr = np.stack(pdf[emb_col].to_numpy())
+            x = normalize_rows(np.nan_to_num(x_arr.astype(np.float64)))
+            sims = x @ cents.T
+            n = len(pdf)
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            if emit_home:
+                home = np.argmax(sims, axis=1).astype(np.int32)
+                codes = np.empty((n, m), dtype=np.uint8)
+                for j in range(m):
+                    xs = x[:, j * dsub : (j + 1) * dsub]
+                    codes[:, j] = np.argmax(xs @ books[j].T - half_norms[j], axis=1)
+                raw = codes.tobytes()
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "_id": ids,
+                            "cell": home,
+                            "_role": np.zeros(n, dtype=np.int32),
+                            "_emb": [raw[i * m : (i + 1) * m] for i in range(n)],
+                        }
+                    )
+                )
+            if emit_probes:
+                p = min(nprobe, sims.shape[1])
+                probes = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+                xq = x_arr.astype(np.float32, copy=False)
+                qraw = xq.tobytes()
+                stride = xq.shape[1] * 4
+                blobs = [qraw[i * stride : (i + 1) * stride] for i in range(n)]
+                for j in range(p):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "_id": ids,
+                                "cell": probes[:, j].astype(np.int32),
+                                "_role": np.ones(n, dtype=np.int32),
+                                "_emb": blobs,
+                            }
+                        )
+                    )
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.select(id_col, emb_col).mapInPandas(assign, schema)
+
+
+def _ivf_pq_pairs(assigned, books_bc, k, id_type, mask_equal_ids, max_cell_rows):
+    """Probed-cell ADC search: the ivf-flat plan shape (persisted
+    assignment → grid salt-split → sort-based grouped kernel → fused
+    dedup+top-K merge, see ann._ivf_pairs) with the in-cell exact matmul
+    replaced by per-subspace LUT gathers over the index rows' codes. The
+    cell exchange carries m-byte codes for the (unreplicated) index role —
+    the nprobe-fold replication applies only to queries, and the code
+    payload is 32× smaller than the f32 vector it replaces."""
+    import numpy as np
+    import pandas as pd
+    from pyspark import StorageLevel
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from deepblocker_spark.operators.ann import _ASSIGN_CACHES, grid_salt_split
+    from deepblocker_spark.operators.grouped import (
+        _dedup_topk,
+        group_slices,
+        grouped_map_in_pandas,
+        topk_per_key,
+    )
+    from deepblocker_spark.operators.topk import normalize_rows
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    _ASSIGN_CACHES.append(assigned)
+    salted = grid_salt_split(assigned, max_cell_rows)
+
+    pair_schema = StructType(
+        [
+            StructField("l_id", id_type, True),
+            StructField("r_id", id_type, True),
+            StructField("sim", DoubleType(), False),
+        ]
+    )
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        books = books_bc.value
+        m, _, dsub = books.shape
+        outs = []
+        roles = pdf["_role"].to_numpy()
+        blobs = pdf["_emb"].to_numpy()
+        all_ids = pdf["_id"].to_numpy()
+        for a, b in group_slices(pdf, ["cell", "salt_q", "salt_i"]):
+            g_roles = roles[a:b]
+            q_idx = np.nonzero(g_roles == 1)[0] + a
+            i_idx = np.nonzero(g_roles == 0)[0] + a
+            if not len(q_idx) or not len(i_idx):
+                continue
+            qids = all_ids[q_idx]
+            iids = all_ids[i_idx]
+            qx = np.frombuffer(b"".join(blobs[q_idx]), dtype=np.float32).reshape(
+                len(q_idx), -1
+            )
+            qx = normalize_rows(np.nan_to_num(qx.astype(np.float64)))
+            codes = np.frombuffer(b"".join(blobs[i_idx]), dtype=np.uint8).reshape(
+                len(i_idx), m
+            )
+            sims = np.zeros((len(q_idx), len(i_idx)))
+            for j in range(m):
+                lut = qx[:, j * dsub : (j + 1) * dsub] @ books[j].T
+                sims += lut[:, codes[:, j]]
+            if mask_equal_ids:
+                sims[qids[:, None] == iids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] if kk < sims.shape[1] \
+                else np.broadcast_to(np.arange(sims.shape[1]), sims.shape).copy()
+            rows = np.repeat(np.arange(len(qids)), part.shape[1])
+            cols = part.ravel()
+            s = sims[rows, cols]
+            keep = s > -np.inf
+            outs.append(pd.DataFrame(
+                {"l_id": qids[rows[keep]], "r_id": iids[cols[keep]], "sim": s[keep]}
+            ))
+        if not outs:
+            return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
+        return _dedup_topk(
+            pd.concat(outs, ignore_index=True), k, "l_id", "r_id", "sim",
+            with_rank=False,
+        )
+
+    pairs = grouped_map_in_pandas(
+        salted, ["cell", "salt_q", "salt_i"], cell_kernel, pair_schema
+    )
+    return topk_per_key(pairs, k, pre_combine=False)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int | None = None,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 1234,
+    max_cell_rows: int = 5_000,
+    rows_hint: int | None = None,
+) -> DataFrame:
+    """IVFADC self-search (Jégou TPAMI'11 §IV): IVF cells bound WHICH rows
+    each query scores (nprobe cells of ~N/n_cells), PQ codes bound WHAT
+    travels and sits in memory (m bytes per index row). -> (l_id, r_id,
+    sim(ADC estimate), rank), trivial self-match excluded. One source scan
+    emits both roles; same two-exchange plan as ivf_topk."""
+    from deepblocker_spark.operators.ann import _auto_n_cells, _train_centroids
+
+    spark = df.sparkSession
+    n = rows_hint if rows_hint is not None else df.count()
+    if n_cells is None:
+        n_cells = _auto_n_cells(n)
+    cents = _train_centroids(df, id_col, emb_col, n_cells, seed)
+    books = train_pq(
+        df, id_col=id_col, emb_col=emb_col, m=m, n_codes=n_codes,
+        seed=seed + 1, rows_hint=n,
+    )
+    cents_bc = spark.sparkContext.broadcast(cents)
+    books_bc = spark.sparkContext.broadcast(books)
+    assigned = _assign_cells_pq(
+        df, id_col, emb_col, cents_bc, books_bc, nprobe,
+        emit_home=True, emit_probes=True,
+    )
+    id_type = df.select(id_col).schema.fields[0].dataType
+    return _ivf_pq_pairs(assigned, books_bc, k, id_type, True, max_cell_rows)
+
+
+def ivf_pq_topk_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 10,
+    l_id: str = "vec_id",
+    r_id: str = "vec_id",
+    emb_col: str = "embedding",
+    n_cells: int | None = None,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 1234,
+    max_cell_rows: int = 5_000,
+    rows_hint: int | None = None,
+) -> DataFrame:
+    """Dyadic IVFADC: ``right`` is the index (home cells, PQ codes),
+    ``left`` is the query side (nprobe cells, f32 vectors). Centroids and
+    codebooks train on the INDEX side; ``rows_hint`` skips its count."""
+    from deepblocker_spark.operators.ann import _auto_n_cells, _train_centroids
+
+    if left.select(l_id).schema.fields[0].dataType != \
+            right.select(r_id).schema.fields[0].dataType:
+        raise ValueError("left and right id columns must share a type")
+    spark = left.sparkSession
+    n = rows_hint if rows_hint is not None else right.count()
+    if n_cells is None:
+        n_cells = _auto_n_cells(n)
+    cents = _train_centroids(right, r_id, emb_col, n_cells, seed)
+    books = train_pq(
+        right, id_col=r_id, emb_col=emb_col, m=m, n_codes=n_codes,
+        seed=seed + 1, rows_hint=n,
+    )
+    cents_bc = spark.sparkContext.broadcast(cents)
+    books_bc = spark.sparkContext.broadcast(books)
+    idx = _assign_cells_pq(
+        right, r_id, emb_col, cents_bc, books_bc, nprobe,
+        emit_home=True, emit_probes=False,
+    )
+    qry = _assign_cells_pq(
+        left, l_id, emb_col, cents_bc, books_bc, nprobe,
+        emit_home=False, emit_probes=True,
+    )
+    assigned = idx.unionByName(qry)
+    id_type = left.select(l_id).schema.fields[0].dataType
+    return _ivf_pq_pairs(assigned, books_bc, k, id_type, False, max_cell_rows)

@@ -94,3 +94,48 @@ def test_pq_topk_dyadic_and_chunking(spark, vec_df):
     b = {(r.l_id, r.r_id, r.rank) for r in many.collect()}
     assert a == b  # chunking must not change the result
     assert all(r % 2 == 1 for _, r, _ in a)  # right ids only
+
+
+def test_ivf_pq_recall_and_saltsplit_invariance(spark, vec_df):
+    from deepblocker_spark.operators.pq import ivf_pq_topk
+
+    exact = exact_topk_join(
+        vec_df, vec_df, k=5, l_id="vec_id", r_id="vec_id", exclude_self=True
+    )
+    ex = {(r.l_id, r.r_id) for r in exact.filter("sim >= 0.5").collect()}
+    assert ex
+    approx = ivf_pq_topk(
+        vec_df, k=10, n_cells=8, nprobe=4, m=8, n_codes=64, seed=5
+    )
+    ap = {(r.l_id, r.r_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.9, f"recall {recall:.3f}"
+    assert all(a != b for a, b in ap)  # self excluded
+    # mega-cell grid split (max_cell_rows=7 forces SQxSI fan-out) must not
+    # change the result set at all — zero recall loss by construction
+    split = ivf_pq_topk(
+        vec_df, k=10, n_cells=8, nprobe=4, m=8, n_codes=64, seed=5,
+        max_cell_rows=7,
+    )
+    sp = {(r.l_id, r.r_id, r.rank) for r in split.collect()}
+    full = {(r.l_id, r.r_id, r.rank) for r in approx.collect()}
+    assert sp == full
+
+
+def test_ivf_pq_dyadic(spark, vec_df):
+    from deepblocker_spark.operators.pq import ivf_pq_topk_join
+
+    left = vec_df.filter("vec_id % 2 = 0")
+    right = vec_df.filter("vec_id % 2 = 1")
+    out = ivf_pq_topk_join(
+        left, right, k=3, n_cells=8, nprobe=8, m=8, n_codes=64, seed=5
+    )
+    rows = out.collect()
+    assert rows
+    assert all(r.l_id % 2 == 0 and r.r_id % 2 == 1 for r in rows)
+    # nprobe = n_cells probes every cell: ADC ranking over ALL right rows —
+    # the exact top-1 neighbors (high-sim regime) must be recovered
+    exact = exact_topk_join(left, right, k=1, l_id="vec_id", r_id="vec_id")
+    ex1 = {(r.l_id, r.r_id) for r in exact.filter("sim >= 0.5").collect()}
+    got = {(r.l_id, r.r_id) for r in rows}
+    assert ex1 and len(ex1 & got) / len(ex1) >= 0.9
