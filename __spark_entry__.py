@@ -1401,17 +1401,29 @@ s as (
   select sum(nij) as n,
          sum(nij*nij/ni) as sp,
          sum(nij*nij/nj) as sr,
-         sum(nij*(nij-1)/2) as aij
+         sum(nij*(nij-1)/2) as aij,
+         sum(nij*ln(nij/ni)) as eg,
+         sum(nij*ln(nij/nj)) as ep
   from cont join rs using (pc) join cs using (gc)
 ),
 m as (
-  select n, sp, sr, aij,
+  select n, sp, sr, aij, eg, ep,
          (select sum(ni*(ni-1)/2) from rs) as ai,
+         (select sum(ni*ln(ni)) from rs) as sni,
          (select count(*) from rs) as npc,
          (select sum(nj*(nj-1)/2) from cs) as aj,
+         (select sum(nj*ln(nj)) from cs) as snj,
          (select count(*) from cs) as ngc,
          n*(n-1)/2 as npairs
   from s
+),
+met as (
+  select *,
+         case when ln(n) - snj/n > 1e-12
+              then 1 - (-eg/n) / (ln(n) - snj/n) else 1.0 end as homog,
+         case when ln(n) - sni/n > 1e-12
+              then 1 - (-ep/n) / (ln(n) - sni/n) else 1.0 end as compl
+  from m
 )
 select n::BIGINT as n_items,
        npc::BIGINT as n_pred_clusters,
@@ -1423,8 +1435,12 @@ select n::BIGINT as n_items,
                   then (npairs + 2*aij - ai - aj)/npairs end, 9) as rand_index,
        round(case when npairs > 0 and (ai+aj)/2 - ai*aj/npairs <> 0
                   then (aij - ai*aj/npairs) / ((ai+aj)/2 - ai*aj/npairs)
-             end, 9) as adjusted_rand
-from m
+             end, 9) as adjusted_rand,
+       round(homog, 9) as homogeneity,
+       round(compl, 9) as completeness,
+       round(case when homog + compl > 0
+                  then 2*homog*compl/(homog+compl) else 0.0 end, 9) as v_measure
+from met
 """
 
     group_linkage_sql = f"""{_assign_cte},

@@ -101,7 +101,8 @@ def clustering_eval(
     loop for the clustering stage the way ``pairwise_f1`` does for pairs.
 
     -> single row (n_items, n_pred_clusters, n_gold_clusters,
-    bcubed_precision, bcubed_recall, bcubed_f1, rand_index, adjusted_rand).
+    bcubed_precision, bcubed_recall, bcubed_f1, rand_index, adjusted_rand,
+    homogeneity, completeness, v_measure).
 
     Everything reduces over the pred×gold CONTINGENCY table: with
     n_ij = |pred cluster i ∩ gold cluster j|, n_i. and n_.j the cluster
@@ -110,6 +111,9 @@ def clustering_eval(
       RI  = (C(N,2) + 2Σ C(n_ij,2) − Σ C(n_i.,2) − Σ C(n_.j,2)) / C(N,2)
       ARI = (Σ C(n_ij,2) − E) / ((Σ C(n_i.,2)+Σ C(n_.j,2))/2 − E),
             E = Σ C(n_i.,2) · Σ C(n_.j,2) / C(N,2)
+      homogeneity  = 1 − H(gold|pred)/H(gold)   (1 when H(gold) = 0)
+      completeness = 1 − H(pred|gold)/H(pred)   (1 when H(pred) = 0)
+      v_measure    = harmonic mean of the two (Rosenberg & Hirschberg '07)
     Scale shape: one equi-join on id (the only row-scale shuffle), then one
     hash agg to the contingency table — everything after runs on ≤
     #clusters² rows. Cluster-size frames join back on the cluster key;
@@ -132,13 +136,19 @@ def clustering_eval(
         F.sum(F.col("_nij") * F.col("_nij") / F.col("_ni")).alias("_sp"),
         F.sum(F.col("_nij") * F.col("_nij") / F.col("_nj")).alias("_sr"),
         F.sum(F.col("_nij") * (F.col("_nij") - 1) / 2).alias("_aij"),
+        # Σ n_ij·ln(n_ij/n_i.) and Σ n_ij·ln(n_ij/n_.j): the un-normalized
+        # conditional entropies (÷ −N below); nij >= 1 so ln is safe
+        F.sum(F.col("_nij") * F.log(F.col("_nij") / F.col("_ni"))).alias("_eg"),
+        F.sum(F.col("_nij") * F.log(F.col("_nij") / F.col("_nj"))).alias("_ep"),
     )
     ai = rows.agg(
         F.sum(F.col("_ni") * (F.col("_ni") - 1) / 2).alias("_ai"),
+        F.sum(F.col("_ni") * F.log("_ni")).alias("_sni"),
         F.count("*").alias("_npc"),
     )
     aj = cols.agg(
         F.sum(F.col("_nj") * (F.col("_nj") - 1) / 2).alias("_aj"),
+        F.sum(F.col("_nj") * F.log("_nj")).alias("_snj"),
         F.count("*").alias("_ngc"),
     )
     m = sums.crossJoin(ai).crossJoin(aj)
@@ -147,6 +157,19 @@ def clustering_eval(
     # the one evaluated OUTSIDE a CASE guard (it feeds the guard itself)
     exp = F.try_divide(F.col("_ai") * F.col("_aj"), npairs)
     ari_den = (F.col("_ai") + F.col("_aj")) / 2 - exp
+    # entropies (natural log): H(pred) = ln N − Σ n_i.·ln(n_i.)/N, etc.;
+    # a 1e-12 tolerance (not ==0) guards float residue of ln(N)−N·lnN/N —
+    # the SAME guard expression is mirrored in the SQL oracle
+    h_pred = F.log(F.col("_n")) - F.col("_sni") / F.col("_n")
+    h_gold = F.log(F.col("_n")) - F.col("_snj") / F.col("_n")
+    h_gold_given_pred = -F.col("_eg") / F.col("_n")
+    h_pred_given_gold = -F.col("_ep") / F.col("_n")
+    homog = F.when(h_gold > 1e-12, 1 - h_gold_given_pred / h_gold).otherwise(
+        F.lit(1.0)
+    )
+    compl = F.when(h_pred > 1e-12, 1 - h_pred_given_gold / h_pred).otherwise(
+        F.lit(1.0)
+    )
     return m.select(
         F.col("_n").cast("long").alias("n_items"),
         F.col("_npc").cast("long").alias("n_pred_clusters"),
@@ -176,6 +199,13 @@ def clustering_eval(
         F.round(
             F.when(ari_den != 0, (F.col("_aij") - exp) / ari_den), 9
         ).alias("adjusted_rand"),
+        F.round(homog, 9).alias("homogeneity"),
+        F.round(compl, 9).alias("completeness"),
+        F.round(
+            F.when(homog + compl > 0, 2 * homog * compl / (homog + compl))
+            .otherwise(F.lit(0.0)),
+            9,
+        ).alias("v_measure"),
     )
 
 

@@ -56,6 +56,29 @@ def _py_rand(assign: dict[int, tuple]) -> tuple[float, float]:
     return ri, ari
 
 
+def _py_vmeasure(assign: dict[int, tuple]) -> tuple[float, float, float]:
+    """Literal entropy-based homogeneity/completeness/V (natural log)."""
+    import math
+    from collections import Counter
+
+    n = len(assign)
+    pc = Counter(p for p, _ in assign.values())
+    gc = Counter(g for _, g in assign.values())
+    joint = Counter(assign.values())
+    h_pred = -sum(c / n * math.log(c / n) for c in pc.values())
+    h_gold = -sum(c / n * math.log(c / n) for c in gc.values())
+    h_g_p = -sum(
+        c / n * math.log(c / pc[p]) for (p, g), c in joint.items()
+    )
+    h_p_g = -sum(
+        c / n * math.log(c / gc[g]) for (p, g), c in joint.items()
+    )
+    h = 1 - h_g_p / h_gold if h_gold > 1e-12 else 1.0
+    c = 1 - h_p_g / h_pred if h_pred > 1e-12 else 1.0
+    v = 2 * h * c / (h + c) if h + c > 0 else 0.0
+    return h, c, v
+
+
 def _run(spark, assign: dict[int, tuple]):
     pred = spark.createDataFrame(
         [(i, pc) for i, (pc, _) in assign.items()], "id long, component long"
@@ -72,7 +95,8 @@ def test_identical_clusterings_all_ones(spark):
     assert row.n_items == 12
     assert row.n_pred_clusters == row.n_gold_clusters == 3
     for m in ("bcubed_precision", "bcubed_recall", "bcubed_f1",
-              "rand_index", "adjusted_rand"):
+              "rand_index", "adjusted_rand", "homogeneity",
+              "completeness", "v_measure"):
         assert row[m] == pytest.approx(1.0), m
 
 
@@ -86,6 +110,11 @@ def test_singletons_vs_one_cluster(spark):
     assert row.bcubed_recall == pytest.approx(1 / n)
     assert row.rand_index == pytest.approx(0.0)  # no pair agrees
     assert row.adjusted_rand == pytest.approx(0.0)
+    # singleton predictions are perfectly pure but fragment the gold
+    # cluster completely: homogeneity 1, completeness 0, V 0
+    assert row.homogeneity == pytest.approx(1.0)
+    assert row.completeness == pytest.approx(0.0)
+    assert row.v_measure == pytest.approx(0.0)
 
 
 def test_matches_pure_python_reference_on_random_clusterings(spark):
@@ -102,6 +131,10 @@ def test_matches_pure_python_reference_on_random_clusterings(spark):
         assert row.bcubed_f1 == pytest.approx(f1, abs=1e-8)
         assert row.rand_index == pytest.approx(ri, abs=1e-8)
         assert row.adjusted_rand == pytest.approx(ari, abs=1e-8)
+        h, c, v = _py_vmeasure(assign)
+        assert row.homogeneity == pytest.approx(h, abs=1e-8)
+        assert row.completeness == pytest.approx(c, abs=1e-8)
+        assert row.v_measure == pytest.approx(v, abs=1e-8)
 
 
 def test_degenerate_single_item(spark):
