@@ -47,7 +47,10 @@ def main():
     from deepblocker_spark.operators.pq import ivf_pq_topk
     from deepblocker_spark.session import get_spark
 
-    spark = get_spark("ivfpq-ab", master="local[8]", shuffle_partitions=32)
+    spark = get_spark(
+        "ivfpq-ab", master="local[8]", shuffle_partitions=32,
+        extra_conf={"spark.ui.enabled": "true"},  # stage metrics REST API
+    )
     df = make_input(spark)
     results = {"rows": ROWS, "dim": DIM, "k": K, "flat": [], "pq": []}
 
