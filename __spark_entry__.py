@@ -426,6 +426,23 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence packing (training-batch assembly): scatter-pack FFD into
+    # 256-token bins over 16 hash groups. The packing itself is
+    # inherently sequential per group (not SQL-expressible), so this is a
+    # DERIVED-PROPERTY oracle in the lsh_topk_emb mold: packing_summary
+    # validates budget/partition/FFD-bound properties engine-side
+    # (pack_ok) and DuckDB independently recomputes the doc count.
+    from deepblocker_spark.operators.packing import pack_sequences, packing_summary
+    from deepblocker_spark.operators.textstats import token_count_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    packed = pack_sequences(docs, budget=256, n_groups=16)
+    return packing_summary(packed, budget=256, n_groups=16)
+
+
 def q_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluation harness: PR-curve of the minhash candidate set against a
     # deterministic pseudo-golden set (docs sharing a 32-char text prefix)
@@ -1052,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "progressive_pairs": q_progressive_pairs,
         "stratified_sample": q_stratified_sample,
+        "pack_docs": q_pack_docs,
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
@@ -1842,6 +1860,12 @@ from documents group by lang, source having count(*) > 8
         "meta_blocking_dyadic": meta_blocking_dyadic_sql,
         "progressive_pairs": progressive_pairs_sql,
         "stratified_sample": stratified_sample_sql,
+        # pack_docs: derived-property oracle — FFD packing is sequential
+        # per group (not SQL-expressible); the engine validates the bin
+        # properties (pack_ok), DuckDB recomputes the doc count.
+        "pack_docs": """
+select 1::BIGINT as pack_ok, count(*)::BIGINT as n_docs from documents
+""",
         "mutual_best_match": f"""
 with edges as ({minhash_pairs_sql}),
 directed as (
