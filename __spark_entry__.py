@@ -443,6 +443,16 @@ def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_summary(packed, budget=256, n_groups=16)
 
 
+def q_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-band bucketing: exact quartiles of n_chars (integer scores +
+    # dyadic fractions -> bit-portable interpolation), codegen comparison
+    # chain. Full value oracle (DuckDB quantile_cont).
+    from deepblocker_spark.operators.textstats import quantile_bands
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return quantile_bands(docs, "n_chars", n_bands=4)
+
+
 def q_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluation harness: PR-curve of the minhash candidate set against a
     # deterministic pseudo-golden set (docs sharing a 32-char text prefix)
@@ -1070,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "progressive_pairs": q_progressive_pairs,
         "stratified_sample": q_stratified_sample,
         "pack_docs": q_pack_docs,
+        "quality_bands": q_quality_bands,
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
@@ -1865,6 +1876,15 @@ from documents group by lang, source having count(*) > 8
         # properties (pack_ok), DuckDB recomputes the doc count.
         "pack_docs": """
 select 1::BIGINT as pack_ok, count(*)::BIGINT as n_docs from documents
+""",
+        "quality_bands": """
+with b as (
+  select quantile_cont(n_chars, [0.25, 0.5, 0.75]) as q from documents
+)
+select doc_id, n_chars,
+       (1 + (n_chars > q[1])::INT + (n_chars > q[2])::INT
+          + (n_chars > q[3])::INT) as band
+from documents, b
 """,
         "mutual_best_match": f"""
 with edges as ({minhash_pairs_sql}),

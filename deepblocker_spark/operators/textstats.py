@@ -107,3 +107,32 @@ def document_profile(
         lang_id_col(t).alias("lang_pred"),
         normalized_fingerprint_col(t).alias("fingerprint"),
     )
+
+
+def quantile_bands(
+    df: DataFrame,
+    score_col: str,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Quality-band bucketing: assign every row its ``n_bands``-quantile
+    band of ``score_col`` (1 = lowest) — the curation step a training
+    pipeline runs before per-band sampling rates (pair with
+    sampling.stratified_hash_sample on the band column).
+
+    Boundaries come from ONE exact interpolated-percentile aggregate
+    (ANSI percentile_cont semantics — engine-portable: on integer-valued
+    scores with dyadic quantile fractions the interpolation is exact in
+    doubles, so DuckDB reproduces the banding bit-for-bit; full value
+    oracle). The 1-row boundary frame broadcast-crosses back; the band is
+    a codegen comparison chain. At 100 TB with a continuous score swap
+    the aggregate for ``percentile_approx`` — same plan shape, banding
+    logic unchanged. No collect, no Python, no row-scale shuffle."""
+    if n_bands < 2:
+        raise ValueError("n_bands must be >= 2")
+    qs = F.array(*[F.lit(i / n_bands) for i in range(1, n_bands)])
+    b = df.agg(F.percentile(F.col(score_col), qs).alias("_b"))
+    out = df.crossJoin(F.broadcast(b))
+    band = F.lit(1)
+    for i in range(1, n_bands):
+        band = band + (F.col(score_col) > F.element_at(F.col("_b"), i)).cast("int")
+    return out.withColumn("band", band).drop("_b")

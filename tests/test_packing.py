@@ -70,3 +70,26 @@ def test_packing_summary_ok_and_detects_violations(spark):
         "bin_id", F.when(F.col("doc_id") == 0, F.lit(0)).otherwise(F.col("bin_id"))
     )
     assert packing_summary(bad, BUDGET, n_groups=4).collect()[0].pack_ok == 0
+
+
+def test_quantile_bands_match_numpy(spark):
+    import numpy as np
+
+    from deepblocker_spark.operators.textstats import quantile_bands
+
+    scores = [(i, (i * 131) % 997) for i in range(400)]
+    df = spark.createDataFrame(scores, "doc_id long, score long")
+    rows = quantile_bands(df, "score", n_bands=4).collect()
+    vals = np.array([s for _, s in scores])
+    bounds = np.percentile(vals, [25, 50, 75])  # linear interpolation
+    for r in rows:
+        exp = 1 + int(r.score > bounds[0]) + int(r.score > bounds[1]) + int(
+            r.score > bounds[2]
+        )
+        assert r.band == exp, (r.doc_id, r.score)
+    # quartiles are roughly balanced
+    from collections import Counter
+
+    c = Counter(r.band for r in rows)
+    assert set(c) == {1, 2, 3, 4}
+    assert all(60 <= v <= 140 for v in c.values()), c
