@@ -296,6 +296,29 @@ def main() -> None:
     )
     qs["group_linkage"] = m.queries()["group_linkage"]
 
+    # Sequence packing (round 4): one hash exchange on the scatter group,
+    # FFD inside a sort-based grouped map (MapInPandas, never
+    # FlatMapGroupsInPandas), no join, scan pruned to (doc_id, text).
+    audits["pack_docs"] = (
+        ["MapInPandas", "!FlatMapGroupsInPandas", "!CartesianProduct",
+         "hashpartitioning(_grp", "ReadSchema: struct<doc_id:bigint,text:string>"],
+        "scatter-pack: one _grp hash exchange feeds the FFD grouped map; "
+        "validity summary is hash aggs; scan pruned to (doc_id, text)",
+    )
+    qs["pack_docs"] = m.queries()["pack_docs"]
+
+    # Quality bands (round 4): one global percentile aggregate, 1-row
+    # broadcast nested-loop cross back, codegen comparison chain — no
+    # cartesian, no Python nodes, scan pruned to (doc_id, n_chars).
+    audits["quality_bands"] = (
+        ["BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython",
+         "!MapInPandas", "!ArrowEvalPython",
+         "ReadSchema: struct<doc_id:bigint,n_chars:bigint>"],
+        "percentile boundaries as a 1-row broadcast cross; band assignment "
+        "is a codegen comparison chain; scan pruned to (doc_id, n_chars)",
+    )
+    qs["quality_bands"] = m.queries()["quality_bands"]
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
