@@ -86,7 +86,9 @@ def pack_sequences(
             for i, t in enumerate(nt):
                 if t > budget:
                     assign[i] = len(bins_space)
-                    bins_space.append(0)  # oversized singleton, full
+                    # -1 = CLOSED: a zero-token doc would satisfy a
+                    # `space >= 0` test and sneak into the singleton
+                    bins_space.append(-1)
                     over[i] = True
                     continue
                 # first fit over open bins (nt is sorted desc, so linear

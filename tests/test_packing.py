@@ -93,3 +93,33 @@ def test_quantile_bands_match_numpy(spark):
     c = Counter(r.band for r in rows)
     assert set(c) == {1, 2, 3, 4}
     assert all(60 <= v <= 140 for v in c.values()), c
+
+
+def test_pack_property_random_sizes(spark):
+    """Hypothesis-style randomized validity sweep (seeded, incl. zeros,
+    budget-exact and oversized sizes): the packing is always an exact
+    partition with every non-oversized bin within budget."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(3):
+        toks = [
+            rng.choice([0, 1, BUDGET, BUDGET - 1, BUDGET + 1,
+                        rng.randrange(0, 3 * BUDGET)])
+            for _ in range(150)
+        ]
+        df = _mkdf(spark, toks)
+        out = pack_sequences(df, BUDGET, n_groups=3).collect()
+        assert len(out) == 150 and len({r.doc_id for r in out}) == 150
+        by_bin: dict = {}
+        for r in out:
+            by_bin.setdefault(r.bin_id, []).append(r)
+        for rows in by_bin.values():
+            if any(r.oversized for r in rows):
+                assert len(rows) == 1 and rows[0].n_tokens > BUDGET
+            else:
+                assert sum(r.n_tokens for r in rows) <= BUDGET
+        ok = packing_summary(
+            pack_sequences(df, BUDGET, n_groups=3), BUDGET, n_groups=3
+        ).collect()[0]
+        assert ok.pack_ok == 1, toks[:20]
