@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "lsh_topk_emb",
     "ivf_topk_emb",
     "pq_topk_emb",
+    "ivfpq_topk_emb",
     # linear-output classic blocker (distributed rank + equi-join window);
     # non-degenerate on this data, unlike the token-vocab-bound
     # minhash/meta-blocking pair queries excluded above

@@ -193,6 +193,12 @@ def pq_topk_join(
         ]
     )
 
+    if not rows:  # empty index side: no neighbors for anyone
+        return (
+            left.sparkSession.createDataFrame([], out_schema)
+            .withColumn("rank", F.lit(1).cast("int"))
+            .limit(0)
+        )
     chunks = []
     for lo in range(0, len(rows), max_broadcast_rows):
         part = rows[lo : lo + max_broadcast_rows]

@@ -139,3 +139,13 @@ def test_ivf_pq_dyadic(spark, vec_df):
     ex1 = {(r.l_id, r.r_id) for r in exact.filter("sim >= 0.5").collect()}
     got = {(r.l_id, r.r_id) for r in rows}
     assert ex1 and len(ex1 & got) / len(ex1) >= 0.9
+
+
+def test_pq_topk_empty_right(spark, vec_df):
+    import numpy as np
+
+    empty = vec_df.filter("vec_id < 0")
+    books = train_pq(vec_df, m=4, n_codes=16, sample_rows=200)
+    out = pq_topk_join(vec_df.limit(5), empty, k=3, codebooks=books)
+    assert out.count() == 0
+    assert out.columns == ["l_id", "r_id", "sim", "rank"]
