@@ -20,9 +20,14 @@ c_{j,code_j(x)}>. Training/encoding use per-subspace L2 assignment (the
 standard PQ quantizer) over normalized vectors; per-query score = m
 table lookups summed, vectorized as one fancy-index gather per subspace.
 
-Everything driver-side is bounded: training reads the same deterministic
-xxhash64 sample as ann._train_centroids; codes collect in chunks of
-``max_broadcast_rows``; per-batch kernel memory is O(batch × chunk).
+Everything driver-side is bounded relative to the data: training reads
+the same deterministic xxhash64 sample as ann._train_centroids; the code
+table collects once to the driver (m bytes + id per row — the same
+bounded-broadcast contract as topk.exact_topk_join, at 1/32 the bytes)
+and is broadcast in ``max_broadcast_rows`` chunks; per-batch kernel
+memory is O(batch × chunk). For corpora whose code table exceeds driver
+memory, ``ivf_pq_topk`` (below) is the fully-distributed path — nothing
+collects.
 """
 
 from __future__ import annotations
