@@ -453,6 +453,29 @@ def q_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bands(docs, "n_chars", n_bands=4)
 
 
+def q_blocking_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocking-scheme advisor: cost (candidate pairs from block SIZES,
+    # never materialized) + recall vs the pseudo-golden prefix pairs for
+    # three candidate key sets. Full value oracle.
+    from deepblocker_spark.operators.metrics import blocking_key_report
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.substring("text", 1, 32).alias("_p"))
+    golden = (
+        keyed.alias("l")
+        .join(keyed.alias("r"), "_p")
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("ltable_id"),
+            F.col("r.doc_id").alias("rtable_id"),
+        )
+    )
+    return blocking_key_report(
+        docs, [["lang"], ["source"], ["lang", "source"]], golden,
+        id_col="doc_id",
+    )
+
+
 def q_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluation harness: PR-curve of the minhash candidate set against a
     # deterministic pseudo-golden set (docs sharing a 32-char text prefix)
@@ -1081,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_docs": q_pack_docs,
         "quality_bands": q_quality_bands,
+        "blocking_advisor": q_blocking_advisor,
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
@@ -1885,6 +1909,54 @@ select doc_id, n_chars,
        (1 + (n_chars > q[1])::INT + (n_chars > q[2])::INT
           + (n_chars > q[3])::INT) as band
 from documents, b
+""",
+        "blocking_advisor": """
+with g as (
+  select distinct l.doc_id as a, r.doc_id as b
+  from documents l join documents r
+    on substr(l.text, 1, 32) = substr(r.text, 1, 32) and l.doc_id < r.doc_id
+),
+gj as (
+  select la.lang as ll, ra.lang as rl, la.source as ls, ra.source as rs
+  from g join documents la on g.a = la.doc_id
+         join documents ra on g.b = ra.doc_id
+),
+n as (select count(*)::DOUBLE as nn from documents),
+ng as (select count(*)::BIGINT as n_golden from g),
+rep as (
+  select 'lang' as key_set,
+         (select count(*) from (select lang from documents
+            where lang is not null group by lang))::BIGINT as n_blocks,
+         (select coalesce(sum(sz*(sz-1)/2), 0) from (
+            select count(*)::BIGINT as sz from documents
+            where lang is not null group by lang))::BIGINT as n_candidate_pairs,
+         (select count(*) from gj where ll = rl)::BIGINT as tp
+  union all
+  select 'source',
+         (select count(*) from (select source from documents
+            where source is not null group by source))::BIGINT,
+         (select coalesce(sum(sz*(sz-1)/2), 0) from (
+            select count(*)::BIGINT as sz from documents
+            where source is not null group by source))::BIGINT,
+         (select count(*) from gj where ls = rs)::BIGINT
+  union all
+  select 'lang+source',
+         (select count(*) from (select lang, source from documents
+            where lang is not null and source is not null
+            group by lang, source))::BIGINT,
+         (select coalesce(sum(sz*(sz-1)/2), 0) from (
+            select count(*)::BIGINT as sz from documents
+            where lang is not null and source is not null
+            group by lang, source))::BIGINT,
+         (select count(*) from gj where ll = rl and ls = rs)::BIGINT
+)
+select key_set, n_blocks, n_candidate_pairs,
+       round(case when nn > 1
+             then n_candidate_pairs / (nn*(nn-1)/2) end, 9) as cssr,
+       round(case when n_golden > 0
+             then tp::DOUBLE / n_golden end, 9) as recall,
+       tp, n_golden
+from rep, n, ng
 """,
         "mutual_best_match": f"""
 with edges as ({minhash_pairs_sql}),

@@ -289,3 +289,87 @@ def threshold_sweep(
             9,
         ).alias("f1"),
     )
+
+
+def blocking_key_report(
+    df: DataFrame,
+    key_sets: list[list[str]],
+    golden: DataFrame,
+    id_col: str = "id",
+    golden_l: str = "ltable_id",
+    golden_r: str = "rtable_id",
+) -> DataFrame:
+    """Blocking-scheme advisor: for each candidate key set, the numbers an
+    ER practitioner compares before picking a blocker — how many
+    candidate pairs the scheme generates (cost) and how much of the
+    golden set it keeps (recall). -> one row per key set:
+    (key_set, n_blocks, n_candidate_pairs, cssr, recall), cssr =
+    pairs / C(N,2), ratios rounded to 9, NULL-keyed rows excluded (SQL
+    equality semantics: a NULL key never blocks with anything).
+
+    Cost comes from BLOCK SIZES, never from materialized pairs:
+    Σ C(size,2) over a hash agg per key set — the report over a 100 TB
+    corpus costs K aggregates, not K pair generations. Recall joins the
+    (small) golden set back to the row attributes twice and compares key
+    equality per pair — broadcast-friendly. The per-key-set frames union
+    into one result (K is a handful; the union is trivial)."""
+    spark = df.sparkSession
+    n_rows = None
+    outs = []
+    for keys in key_sets:
+        label = "+".join(keys)
+        nn = F.col("_sz")
+        valid = df.select(id_col, *keys).na.drop(subset=keys)
+        sizes = valid.groupBy(*keys).agg(F.count("*").alias("_sz"))
+        cost = sizes.agg(
+            F.count("*").alias("n_blocks"),
+            F.coalesce(F.sum(nn * (nn - 1) / 2), F.lit(0.0)).alias("_pairs"),
+        )
+        l = valid.select(
+            F.col(id_col).alias(golden_l),
+            *[F.col(k).alias(f"_l_{k}") for k in keys],
+        )
+        r = valid.select(
+            F.col(id_col).alias(golden_r),
+            *[F.col(k).alias(f"_r_{k}") for k in keys],
+        )
+        same_key = None
+        for k in keys:
+            c = F.col(f"_l_{k}") == F.col(f"_r_{k}")
+            same_key = c if same_key is None else (same_key & c)
+        g = golden.select(golden_l, golden_r).dropDuplicates()
+        hit = (
+            g.join(l, golden_l).join(r, golden_r)
+            .agg(
+                F.coalesce(F.sum(same_key.cast("int")), F.lit(0)).alias("_tp")
+            )
+        )
+        n_gold = g.agg(F.count("*").alias("_ng"))
+        outs.append(
+            cost.crossJoin(hit).crossJoin(n_gold).select(
+                F.lit(label).alias("key_set"),
+                F.col("n_blocks").cast("long").alias("n_blocks"),
+                F.col("_pairs").cast("long").alias("n_candidate_pairs"),
+                F.col("_tp").cast("long").alias("tp"),
+                F.col("_ng").cast("long").alias("n_golden"),
+            )
+        )
+    rep = outs[0]
+    for o in outs[1:]:
+        rep = rep.unionByName(o)
+    total = df.agg(F.count("*").alias("_n"))
+    return rep.crossJoin(F.broadcast(total)).select(
+        "key_set", "n_blocks", "n_candidate_pairs",
+        F.round(
+            F.when(
+                F.col("_n") > 1,
+                F.col("n_candidate_pairs")
+                / (F.col("_n") * (F.col("_n") - 1) / 2),
+            ),
+            9,
+        ).alias("cssr"),
+        F.round(
+            F.when(F.col("n_golden") > 0, F.col("tp") / F.col("n_golden")), 9
+        ).alias("recall"),
+        "tp", "n_golden",
+    )

@@ -171,3 +171,33 @@ def test_group_linkage_identity_and_overlap(spark):
     # min_jaccard filters the weak alignment
     filt = group_linkage(left, right, min_jaccard=0.5).collect()
     assert {(r.l_cluster, r.r_cluster) for r in filt} == {(0, 10), (1, 11)}
+
+
+def test_blocking_key_report_hand_computed(spark):
+    from deepblocker_spark.operators.metrics import blocking_key_report
+
+    # blocks by k1: {a: 1,2,3}, {b: 4,5}, null excluded -> pairs 3+1=4
+    rows = [
+        (1, "a", "x"), (2, "a", "x"), (3, "a", "y"),
+        (4, "b", "y"), (5, "b", "y"), (6, None, "y"),
+    ]
+    df = spark.createDataFrame(rows, "id long, k1 string, k2 string")
+    golden = spark.createDataFrame(
+        [(1, 2), (3, 4), (4, 5), (1, 6)], "ltable_id long, rtable_id long"
+    )
+    rep = {
+        r.key_set: r
+        for r in blocking_key_report(
+            df, [["k1"], ["k1", "k2"]], golden, id_col="id"
+        ).collect()
+    }
+    r1 = rep["k1"]
+    assert (r1.n_blocks, r1.n_candidate_pairs) == (2, 4)
+    # golden hits under k1: (1,2) same, (4,5) same; (3,4) differ; (1,6) null
+    assert (r1.tp, r1.n_golden) == (2, 4)
+    assert r1.recall == pytest.approx(0.5)
+    assert r1.cssr == pytest.approx(4 / 15)
+    r2 = rep["k1+k2"]
+    # blocks: {a,x: 1,2}, {a,y: 3}, {b,y: 4,5} -> 1+0+1 = 2 pairs
+    assert (r2.n_blocks, r2.n_candidate_pairs) == (3, 2)
+    assert (r2.tp, r2.n_golden) == (2, 4)
