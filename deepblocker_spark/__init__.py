@@ -20,6 +20,7 @@ from deepblocker_spark.pipeline import (
     SparkSIFEmbedding,
 )
 from deepblocker_spark.operators.ann import IVFVectorPairing
+from deepblocker_spark.operators.pq import PQVectorPairing
 from deepblocker_spark.operators.lsh import LSHVectorPairing
 from deepblocker_spark.operators.topk import ExactTopKVectorPairing
 
@@ -36,4 +37,5 @@ __all__ = [
     "ExactTopKVectorPairing",
     "LSHVectorPairing",
     "IVFVectorPairing",
+    "PQVectorPairing",
 ]

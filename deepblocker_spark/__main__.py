@@ -29,7 +29,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="id")
     p.add_argument("--k", type=int, default=50)
     p.add_argument("--pairing", default="auto",
-                   choices=["auto", "exact", "lsh", "ivf"],
+                   choices=["auto", "exact", "lsh", "ivf", "ivfpq"],
                    help="candidate generator: auto = exact below "
                         "pairing_lsh_threshold_rows, LSH above (scale path)")
     p.add_argument("--lsh-threshold-rows", type=int, default=100_000,

@@ -82,6 +82,11 @@ class BlockerConfig:
     # to override.
     ivf_n_cells: int | None = None
     ivf_nprobe: int = 8
+    # IVFADC (pairing='ivfpq'): PQ subspaces and codes per subspace —
+    # m=8 x 256 is the standard setting (Jégou TPAMI'11); the index role's
+    # exchange payload is pq_m bytes per row.
+    pq_m: int = 8
+    pq_n_codes: int = 256
     # Hash-directory layout for pipeline checkpoints: stages are written
     # partitioned by _part = pmod(xxhash64(id), ckpt_hash_partitions), so
     # resume reads can prune to a partition subset and the verify-stage

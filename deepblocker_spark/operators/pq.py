@@ -530,3 +530,44 @@ def ivf_pq_topk_join(
     assigned = idx.unionByName(qry)
     id_type = left.select(l_id).schema.fields[0].dataType
     return _ivf_pq_pairs(assigned, books_bc, k, id_type, False, max_cell_rows)
+
+
+class PQVectorPairing:
+    """IVFADC behind the same index/query seam as ExactTopKVectorPairing /
+    LSHVectorPairing / IVFVectorPairing (the reference's
+    vector_pairing_models.py:7-18 ABC): self mode when query() receives
+    the indexed DataFrame itself, dyadic (train-on-index, probe-from-
+    query) otherwise."""
+
+    def __init__(self, k: int = 50, n_cells: int | None = 16, nprobe: int = 4,
+                 m: int = 8, n_codes: int = 256, seed: int = 1234,
+                 max_cell_rows: int = 5_000):
+        self.k, self.n_cells, self.nprobe = k, n_cells, nprobe
+        self.m, self.n_codes, self.seed = m, n_codes, seed
+        self.max_cell_rows = max_cell_rows
+        self.exclude_self = True  # self mode never emits self-pairs
+
+    def index(self, right: DataFrame, r_id: str = "id", emb_col: str = "embedding"):
+        self._right, self._r_id, self._emb = right, r_id, emb_col
+        return self
+
+    def query(self, left: DataFrame, l_id: str = "id",
+              emb_col: str | None = None, mode: str = "auto") -> DataFrame:
+        """``mode``: 'self' / 'dyadic' / 'auto' — auto falls back to OBJECT
+        IDENTITY with the indexed frame (same caveat as IVFVectorPairing:
+        pass mode='self' for an equal-but-distinct frame, e.g. one re-read
+        from a checkpoint)."""
+        if mode not in ("auto", "self", "dyadic"):
+            raise ValueError(f"unknown query mode: {mode!r}")
+        kw = dict(n_cells=self.n_cells, nprobe=self.nprobe, m=self.m,
+                  n_codes=self.n_codes, seed=self.seed,
+                  max_cell_rows=self.max_cell_rows)
+        if mode == "self" or (mode == "auto" and left is self._right):
+            return ivf_pq_topk(
+                self._right, k=self.k, id_col=self._r_id,
+                emb_col=emb_col or self._emb, **kw,
+            )
+        return ivf_pq_topk_join(
+            left, self._right, k=self.k, l_id=l_id, r_id=self._r_id,
+            emb_col=emb_col or self._emb, **kw,
+        )

@@ -301,6 +301,9 @@ def run_blocking_pipeline(
       * 'lsh'   — random-hyperplane LSH buckets, no driver materialization
                   of the table, bounded shuffle: the 100 TB path;
       * 'ivf'   — IVF-flat with driver-trained centroids;
+      * 'ivfpq' — IVFADC: IVF cells + in-cell ADC over m-byte PQ codes
+                  (the index role's exchange payload drops 32×; measured
+                  2.3× faster than ivf-flat at 240k rows, BASELINE.md);
       * 'auto'  — exact below cfg.pairing_lsh_threshold_rows rows
                   (using the embeddings checkpoint's manifest row count),
                   LSH above it.
@@ -313,7 +316,7 @@ def run_blocking_pipeline(
     from deepblocker_spark.pipeline import SparkSIFEmbedding
 
     cfg = config or DEFAULT_CONFIG
-    if pairing not in ("auto", "exact", "lsh", "ivf"):
+    if pairing not in ("auto", "exact", "lsh", "ivf", "ivfpq"):
         raise ValueError(f"unknown pairing mode: {pairing!r}")
 
     def build_embeddings() -> DataFrame:
@@ -359,6 +362,15 @@ def run_blocking_pipeline(
                 emb_dtype=cfg.lsh_emb_dtype, gather=cfg.lsh_gather,
                 gather_max_bytes=cfg.lsh_gather_max_bytes,
             )
+        elif mode == "ivfpq":
+            from deepblocker_spark.operators.pq import ivf_pq_topk
+
+            return ivf_pq_topk(
+                emb, k=k, id_col=id_col, emb_col="embedding",
+                n_cells=cfg.ivf_n_cells, nprobe=cfg.ivf_nprobe,
+                m=cfg.pq_m, n_codes=cfg.pq_n_codes,
+                seed=cfg.random_seed, rows_hint=n_rows,
+            )
         else:  # ivf
             from deepblocker_spark.operators.ann import ivf_topk
 
@@ -386,7 +398,9 @@ def run_blocking_pipeline(
                         cfg.lsh_max_bucket_rows,
                         cfg.lsh_emb_dtype] if mode == "lsh" else None,
                 "ivf": [cfg.ivf_n_cells, cfg.ivf_nprobe,
-                        cfg.lsh_emb_dtype] if mode == "ivf" else None},
+                        cfg.lsh_emb_dtype] if mode == "ivf" else None,
+                "ivfpq": [cfg.ivf_n_cells, cfg.ivf_nprobe, cfg.pq_m,
+                          cfg.pq_n_codes] if mode == "ivfpq" else None},
         layout=("l_id", n_part),
     )
     # the candidates stage is materialized: release the signature /

@@ -305,3 +305,26 @@ def test_checkpoint_hash_layout_prunes(spark, repo_df, tmp_path):
     absent = set(range(CFG.ckpt_hash_partitions)) - pids
     if absent:  # an absent directory verifies as genuinely empty
         assert ckpt.verify("candidates", part=sorted(absent)[0])
+
+
+def test_pipeline_ivfpq_pairing_end_to_end_f1(spark, repo_df, tmp_path):
+    """IVFADC pairing from the checkpointed pipeline (round 4): IVF cells
+    + in-cell ADC over PQ codes still clears the F1 gate — near-dup
+    vectors share a home cell, and 256-code quantization preserves their
+    ranking by a wide margin at this similarity gap."""
+    df, _ = repo_df
+    cfg = BlockerConfig(emb_dim=64, top_k=10, remove_pc=True,
+                        ivf_n_cells=8, ivf_nprobe=6)
+    ckpt = CheckpointManager(spark, str(tmp_path / "ckpt_ivfpq"))
+    clusters = run_blocking_pipeline(
+        spark, df, ckpt, ["repo", "path", "lang", "content"],
+        id_col="id", k=20, verify_jaccard=0.4, config=cfg, pairing="ivfpq",
+    )
+    assert ckpt.manifest("candidates")["params"]["pairing"] == "ivfpq"
+    assert ckpt.manifest("candidates")["params"]["ivfpq"] == [8, 6, 8, 256]
+    pred = clusters_to_pairs(clusters).select(
+        F.col("a").alias("l_id"), F.col("b").alias("r_id")
+    )
+    gold = _golden_pairs(spark, df)
+    row = pairwise_f1(pred, gold).collect()[0]
+    assert row["f1"] >= 0.99, dict(row.asDict())

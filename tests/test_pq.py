@@ -149,3 +149,19 @@ def test_pq_topk_empty_right(spark, vec_df):
     out = pq_topk_join(vec_df.limit(5), empty, k=3, codebooks=books)
     assert out.count() == 0
     assert out.columns == ["l_id", "r_id", "sim", "rank"]
+
+
+def test_pq_vector_pairing_seam(spark, vec_df):
+    from deepblocker_spark.operators.pq import PQVectorPairing
+
+    p = PQVectorPairing(k=3, n_cells=8, nprobe=8, m=8, n_codes=64, seed=5)
+    p.index(vec_df, r_id="vec_id")
+    self_pairs = p.query(vec_df, l_id="vec_id").collect()  # auto -> self
+    assert self_pairs and all(r.l_id != r.r_id for r in self_pairs)
+    left = vec_df.filter("vec_id % 2 = 0")
+    dy = p.index(vec_df.filter("vec_id % 2 = 1"), r_id="vec_id") \
+          .query(left, l_id="vec_id", mode="dyadic").collect()
+    assert dy and all(r.l_id % 2 == 0 and r.r_id % 2 == 1 for r in dy)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        p.query(left, mode="bogus")
