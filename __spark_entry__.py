@@ -453,6 +453,30 @@ def q_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_bands(docs, "n_chars", n_bands=4)
 
 
+def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Monge-Elkan hybrid token scoring over the minhash candidates (the
+    # classic multi-word-field scorer): mean over left 64-char-prefix
+    # token occurrences of the max Jaro-Winkler vs any right token.
+    # Full value oracle (DuckDB unnest + jaro_winkler_similarity).
+    from deepblocker_spark.functions.tokenizer import tokens_col
+    from deepblocker_spark.operators.scoring import monge_elkan_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, n_bands=8, jaccard_threshold=0.9
+    )
+    toks = docs.select(
+        "doc_id", tokens_col(F.substring("text", 1, 64)).alias("_tk")
+    )
+    joined = (
+        pairs.select("a", "b")
+        .join(toks.select(F.col("doc_id").alias("a"), F.col("_tk").alias("_lt")), "a")
+        .join(toks.select(F.col("doc_id").alias("b"), F.col("_tk").alias("_rt")), "b")
+    )
+    out = monge_elkan_scores(joined, "_lt", "_rt")
+    return out.select("a", "b", F.round("me_jw", 6).alias("me_jw"))
+
+
 def q_blocking_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking-scheme advisor: cost (candidate pairs from block SIZES,
     # never materialized) + recall vs the pseudo-golden prefix pairs for
@@ -1105,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_docs": q_pack_docs,
         "quality_bands": q_quality_bands,
         "blocking_advisor": q_blocking_advisor,
+        "monge_elkan": q_monge_elkan,
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
@@ -1909,6 +1934,30 @@ select doc_id, n_chars,
        (1 + (n_chars > q[1])::INT + (n_chars > q[2])::INT
           + (n_chars > q[3])::INT) as band
 from documents, b
+""",
+        "monge_elkan": f"""
+with pairs as ({minhash_pairs_sql}),
+t as (
+  select doc_id, {duckdb_tokens_sql("substr(text, 1, 64)")} as toks
+  from documents
+),
+lt as (
+  select doc_id, unnest(toks) as tok, generate_subscripts(toks, 1) as i
+  from t
+),
+rt as (
+  select doc_id, unnest(toks) as tok from t
+),
+cx as (
+  select p.a, p.b, l.i, max(jaro_winkler_similarity(l.tok, r.tok)) as m
+  from (select distinct a, b from pairs) p
+  join lt l on p.a = l.doc_id
+  join rt r on p.b = r.doc_id
+  group by p.a, p.b, l.i
+),
+me as (select a, b, avg(m) as me from cx group by a, b)
+select p.a, p.b, round(coalesce(me.me, 0), 6) as me_jw
+from (select distinct a, b from pairs) p left join me using (a, b)
 """,
         "blocking_advisor": """
 with g as (

@@ -468,3 +468,80 @@ def tfidf_cosine_join(
         .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("tfidf_cos"))
         .filter(F.col("tfidf_cos") >= threshold)
     )
+
+
+def monge_elkan_scores(
+    pairs: DataFrame,
+    l_tokens: str,
+    r_tokens: str,
+    out_col: str = "me_jw",
+    boost_threshold: float = 0.7,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Monge-Elkan hybrid scoring (Monge & Elkan KDD'96): for each pair,
+    the mean over LEFT token occurrences of the max Jaro-Winkler against
+    any RIGHT token — the classic ER scorer for multi-word fields where
+    token order and extra words shouldn't kill the score ("john r smith"
+    vs "smith, john"). ``symmetric=True`` averages both directions.
+
+    ``pairs`` carries two array<string> columns; the score lands in
+    ``out_col`` (0.0 when either side has no tokens — no silent NULLs).
+    One Arrow-batched mapInPandas pass: the token cross-product flattens
+    into a single jaro_winkler_batch call (the bit-parallel kernel), then
+    two np.reduceat segment reductions (max per left token, mean per
+    pair). Cost per pair is |L|·|R| kernel lanes — callers bound token
+    lists (e.g. a 64-char prefix) the way every scorer here bounds its
+    inputs; no shuffle is added beyond the caller's pair frame.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_fields = [f for f in pairs.schema.fields
+                  if f.name not in (l_tokens, r_tokens)]
+    schema = StructType(out_fields + [StructField(out_col, DoubleType(), False)])
+    keep = [f.name for f in out_fields]
+
+    def one_direction(lt_lists, rt_lists):
+        n = len(lt_lists)
+        li = np.fromiter((len(x) for x in lt_lists), dtype=np.int64, count=n)
+        ri = np.fromiter((len(x) for x in rt_lists), dtype=np.int64, count=n)
+        cross = li * ri
+        me = np.zeros(n, dtype=np.float64)
+        act = np.nonzero(cross > 0)[0]
+        if not len(act):
+            return me
+        a_parts, b_parts = [], []
+        for idx in act:
+            L = np.asarray(lt_lists[idx], dtype=object)
+            R = np.asarray(rt_lists[idx], dtype=object)
+            a_parts.append(np.repeat(L, len(R)))
+            b_parts.append(np.tile(R, len(L)))
+        jw = jaro_winkler_batch(
+            np.concatenate(a_parts), np.concatenate(b_parts),
+            boost_threshold=boost_threshold,
+        )
+        # segment max per (pair, left token): segments of length ri[idx]
+        seg_ri = np.repeat(ri[act], li[act])
+        starts = np.zeros(len(seg_ri), dtype=np.int64)
+        np.cumsum(seg_ri[:-1], out=starts[1:])
+        maxes = np.maximum.reduceat(jw, starts)
+        # mean per pair over its li left tokens
+        row_starts = np.zeros(len(act), dtype=np.int64)
+        np.cumsum(li[act][:-1], out=row_starts[1:])
+        me[act] = np.add.reduceat(maxes, row_starts) / li[act]
+        return me
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lt = pdf[l_tokens].to_numpy()
+            rt = pdf[r_tokens].to_numpy()
+            me = one_direction(lt, rt)
+            if symmetric:
+                me = (me + one_direction(rt, lt)) / 2.0
+            out = pdf[keep].copy()
+            out[out_col] = me
+            yield out
+
+    return pairs.mapInPandas(kernel, schema)

@@ -118,3 +118,39 @@ def test_mutual_best_pandas_crosscheck(spark):
     want = {k for k, v in counts.items() if v == 2}
     got = {tuple(r) for r in mutual_best_pairs(_edges_df(spark, rows)).collect()}
     assert got == want
+
+
+def test_monge_elkan_matches_pure_python(spark):
+    from deepblocker_spark.operators.scoring import (
+        jaro_winkler,
+        monge_elkan_scores,
+    )
+
+    rows = [
+        (1, ["john", "r", "smith"], ["smith", "john"]),
+        (2, ["acme", "corp"], ["acme", "corporation", "ltd"]),
+        (3, [], ["anything"]),          # empty left -> 0.0
+        (4, ["solo"], []),              # empty right -> 0.0
+        (5, ["dup", "dup", "x"], ["dup"]),  # duplicate occurrences count
+    ]
+    df = spark.createDataFrame(
+        rows, "pid long, lt array<string>, rt array<string>"
+    )
+    got = {r.pid: r.me_jw for r in
+           monge_elkan_scores(df, "lt", "rt").collect()}
+
+    def me(L, R):
+        if not L or not R:
+            return 0.0
+        return sum(
+            max(jaro_winkler(t, u, boost_threshold=0.7) for u in R) for t in L
+        ) / len(L)
+
+    import pytest as _pt
+    for pid, L, R in rows:
+        assert got[pid] == _pt.approx(me(L, R), abs=1e-12), pid
+    # symmetric = mean of both directions
+    sym = {r.pid: r.me_jw for r in
+           monge_elkan_scores(df, "lt", "rt", symmetric=True).collect()}
+    for pid, L, R in rows:
+        assert sym[pid] == _pt.approx((me(L, R) + me(R, L)) / 2, abs=1e-12)
