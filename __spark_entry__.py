@@ -477,6 +477,21 @@ def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("me_jw", 6).alias("me_jw"))
 
 
+def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the curation composition: quality bands (exact quartiles of n_chars)
+    # drive per-band deterministic sampling rates — low-quality bands
+    # down-sampled hard, top band kept whole. Full value oracle.
+    from deepblocker_spark.operators.sampling import stratified_hash_sample
+    from deepblocker_spark.operators.textstats import quantile_bands
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    banded = quantile_bands(docs, "n_chars", n_bands=4)
+    return stratified_hash_sample(
+        banded, ["band"], {1: 0.125, 2: 0.25, 3: 0.5, 4: 1.0},
+        id_col="doc_id",
+    )
+
+
 def q_blocking_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking-scheme advisor: cost (candidate pairs from block SIZES,
     # never materialized) + recall vs the pseudo-golden prefix pairs for
@@ -1130,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bands": q_quality_bands,
         "blocking_advisor": q_blocking_advisor,
         "monge_elkan": q_monge_elkan,
+        "curation_sample": q_curation_sample,
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
@@ -1958,6 +1974,24 @@ cx as (
 me as (select a, b, avg(m) as me from cx group by a, b)
 select p.a, p.b, round(coalesce(me.me, 0), 6) as me_jw
 from (select distinct a, b from pairs) p left join me using (a, b)
+""",
+        "curation_sample": """
+with b as (
+  select quantile_cont(n_chars, [0.25, 0.5, 0.75]) as q from documents
+),
+banded as (
+  select doc_id, n_chars,
+         (1 + (n_chars > q[1])::INT + (n_chars > q[2])::INT
+            + (n_chars > q[3])::INT) as band
+  from documents, b
+),
+c as (
+  select * from (values (1, '200000'), (2, '400000'),
+                        (3, '800000'), (4, 'g')) as t(band, cutoff)
+)
+select d.doc_id, d.n_chars, d.band
+from banded d join c using (band)
+where substr(md5(d.doc_id::VARCHAR), 1, 6) < c.cutoff
 """,
         "blocking_advisor": """
 with g as (
