@@ -477,6 +477,26 @@ def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("me_jw", 6).alias("me_jw"))
 
 
+def q_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # soft TF-IDF (Cohen IIWeb'03) over the minhash candidates: tf-idf
+    # agreement with Jaro-Winkler-soft token matching (theta=0.9) on
+    # 64-char-prefix tokens. Completes the classic scorer trio next to
+    # tfidf_cosine and cand_jw_scores. Full value oracle.
+    from deepblocker_spark.operators.scoring import (
+        soft_tfidf_scores,
+        tfidf_vectors,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, n_bands=8, jaccard_threshold=0.9
+    ).select("a", "b")
+    pre = docs.select("doc_id", F.substring("text", 1, 64).alias("_t"))
+    w = tfidf_vectors(pre, id_col="doc_id", text_col="_t")
+    out = soft_tfidf_scores(pairs, w, theta=0.9)
+    return out.select("a", "b", F.round("soft_tfidf", 6).alias("soft_tfidf"))
+
+
 def q_curation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the curation composition: quality bands (exact quartiles of n_chars)
     # drive per-band deterministic sampling rates — low-quality bands
@@ -1146,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_advisor": q_blocking_advisor,
         "monge_elkan": q_monge_elkan,
         "curation_sample": q_curation_sample,
+        "soft_tfidf": q_soft_tfidf,
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
@@ -1974,6 +1995,43 @@ cx as (
 me as (select a, b, avg(m) as me from cx group by a, b)
 select p.a, p.b, round(coalesce(me.me, 0), 6) as me_jw
 from (select distinct a, b from pairs) p left join me using (a, b)
+""",
+        "soft_tfidf": f"""
+with pairs as (select distinct a, b from ({minhash_pairs_sql})),
+tok as (
+  select doc_id as id, unnest({duckdb_tokens_sql("substr(text, 1, 64)")}) as token
+  from documents
+),
+tf as (select id, token, count(*)::DOUBLE as tf from tok group by id, token),
+dft as (select token, count(*)::DOUBLE as df from tf group by token),
+tot as (select count(*)::DOUBLE as n from documents),
+w as (
+  select id, token, tf * (ln((n + 1) / (df + 1)) + 1.0) as w
+  from tf join dft using (token) cross join tot
+),
+nrm as (select id, sqrt(sum(w * w)) as nr from w group by id),
+v as (select w.id, token, w / nr as wn from w join nrm on w.id = nrm.id),
+cx as (
+  select p.a, p.b, va.token as lt, va.wn as lw, vb.token as rt, vb.wn as rw,
+         jaro_winkler_similarity(va.token, vb.token) as jw
+  from pairs p
+  join v va on va.id = p.a
+  join v vb on vb.id = p.b
+),
+best as (
+  select a, b, lw, rw, jw,
+         row_number() over (
+           partition by a, b, lt order by jw desc, rt asc
+         ) as rn
+  from cx
+),
+stf as (
+  select a, b, sum(lw * rw * jw) as s
+  from best where rn = 1 and jw >= 0.9
+  group by a, b
+)
+select p.a, p.b, round(coalesce(stf.s, 0.0), 6) as soft_tfidf
+from pairs p left join stf using (a, b)
 """,
         "curation_sample": """
 with b as (

@@ -545,3 +545,115 @@ def monge_elkan_scores(
             yield out
 
     return pairs.mapInPandas(kernel, schema)
+
+
+def soft_tfidf_scores(
+    pairs: DataFrame,
+    weights: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    theta: float = 0.9,
+    out_col: str = "soft_tfidf",
+    boost_threshold: float = 0.7,
+) -> DataFrame:
+    """Soft TF-IDF (Cohen, Ravikumar, Fienberg IIWeb'03) — the third of
+    the classic scorer trio next to TF-IDF cosine and Jaro-Winkler:
+    TF-IDF agreement where tokens need not match exactly, only closely.
+    For each pair, over left tokens t whose best Jaro-Winkler match u* in
+    the right tokens reaches ``theta``:
+
+        score = Σ_t  V(t, a) · V(u*, b) · jw(t, u*)
+
+    with V the L2-normalized tf-idf weight (``weights`` = the
+    (id, token, wn) frame from ``tfidf_vectors``). Exact-match-only
+    degenerates to the tf-idf cosine; theta<1 credits typo'd tokens.
+
+    -> pairs (a_col, b_col) + ``out_col`` (0.0 when no token clears
+    theta — never NULL). Ties for u* (equal jw) break to the SMALLEST
+    right token string — deterministic and mirrored by the oracle's
+    ``order by jw desc, token asc``. Plan: one groupBy(id) packs each
+    doc's (token, wn) rows into a SORTED array (array_sort makes the
+    kernel's tie-break order engine-independent), two joins attach the
+    arrays to the pairs, and one Arrow-batched kernel flattens the token
+    cross-product into a single bit-parallel jaro_winkler_batch call +
+    reduceat segment reductions — the same shape as monge_elkan_scores.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    arrs = weights.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("token", "wn"))).alias("_arr")
+    )
+    joined = (
+        pairs.select(a_col, b_col)
+        .join(arrs.select(F.col("id").alias(a_col),
+                          F.col("_arr.token").alias("_lt"),
+                          F.col("_arr.wn").alias("_lw")), a_col, "left")
+        .join(arrs.select(F.col("id").alias(b_col),
+                          F.col("_arr.token").alias("_rt"),
+                          F.col("_arr.wn").alias("_rw")), b_col, "left")
+    )
+    schema = StructType(
+        [joined.schema[a_col], joined.schema[b_col],
+         StructField(out_col, DoubleType(), False)]
+    )
+    big = np.int64(1 << 60)
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            n = len(pdf)
+            lt, lw = pdf["_lt"].to_numpy(), pdf["_lw"].to_numpy()
+            rt, rw = pdf["_rt"].to_numpy(), pdf["_rw"].to_numpy()
+            li = np.fromiter(
+                (0 if x is None else len(x) for x in lt), dtype=np.int64, count=n
+            )
+            ri = np.fromiter(
+                (0 if x is None else len(x) for x in rt), dtype=np.int64, count=n
+            )
+            score = np.zeros(n, dtype=np.float64)
+            act = np.nonzero((li > 0) & (ri > 0))[0]
+            if len(act):
+                a_parts, b_parts, wl_parts, wr_parts = [], [], [], []
+                for idx in act:
+                    L = np.asarray(lt[idx], dtype=object)
+                    R = np.asarray(rt[idx], dtype=object)
+                    a_parts.append(np.repeat(L, len(R)))
+                    b_parts.append(np.tile(R, len(L)))
+                    wl_parts.append(
+                        np.repeat(np.asarray(lw[idx], dtype=np.float64), len(R))
+                    )
+                    wr_parts.append(
+                        np.tile(np.asarray(rw[idx], dtype=np.float64), len(L))
+                    )
+                jw = jaro_winkler_batch(
+                    np.concatenate(a_parts), np.concatenate(b_parts),
+                    boost_threshold=boost_threshold,
+                )
+                wl_flat = np.concatenate(wl_parts)
+                wr_flat = np.concatenate(wr_parts)
+                # segments: one per (pair, left token), length ri[idx]
+                seg_ri = np.repeat(ri[act], li[act])
+                starts = np.zeros(len(seg_ri), dtype=np.int64)
+                np.cumsum(seg_ri[:-1], out=starts[1:])
+                seg_max = np.maximum.reduceat(jw, starts)
+                # first (= smallest right token, arrays are sorted) index
+                # achieving the max within each segment
+                pos = np.arange(len(jw), dtype=np.int64)
+                rep_max = np.repeat(seg_max, seg_ri)
+                cand = np.where(jw == rep_max, pos, big)
+                first = np.minimum.reduceat(cand, starts)
+                contrib = np.where(
+                    seg_max >= theta,
+                    wl_flat[starts] * wr_flat[first] * seg_max,
+                    0.0,
+                )
+                row_starts = np.zeros(len(act), dtype=np.int64)
+                np.cumsum(li[act][:-1], out=row_starts[1:])
+                score[act] = np.add.reduceat(contrib, row_starts)
+            out = pdf[[a_col, b_col]].copy()
+            out[out_col] = score
+            yield out
+
+    return joined.mapInPandas(kernel, schema)

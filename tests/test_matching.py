@@ -154,3 +154,51 @@ def test_monge_elkan_matches_pure_python(spark):
            monge_elkan_scores(df, "lt", "rt", symmetric=True).collect()}
     for pid, L, R in rows:
         assert sym[pid] == _pt.approx((me(L, R) + me(R, L)) / 2, abs=1e-12)
+
+
+def test_soft_tfidf_matches_pure_python(spark):
+    from deepblocker_spark.operators.scoring import (
+        jaro_winkler,
+        soft_tfidf_scores,
+        tfidf_vectors,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "acme corp global"),
+            (2, "acme corporation global"),
+            (3, "zenith media"),
+            (4, "acme corp globel"),   # typo'd token -> soft match
+        ],
+        "id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4)], "a long, b long"
+    )
+    w = tfidf_vectors(docs, id_col="id", text_col="text")
+    got = {(r.a, r.b): r.soft_tfidf for r in
+           soft_tfidf_scores(pairs, w, theta=0.85).collect()}
+
+    wmap: dict = {}
+    for r in w.collect():
+        wmap.setdefault(r.id, {})[r.token] = r.wn
+
+    def stf(a, b):
+        s = 0.0
+        for t, wt in wmap[a].items():
+            best, bu = -1.0, None
+            for u in sorted(wmap[b]):
+                j = jaro_winkler(t, u, boost_threshold=0.7)
+                if j > best:
+                    best, bu = j, u
+            if best >= 0.85:
+                s += wt * wmap[b][bu] * best
+        return s
+
+    import pytest as _pt
+    for (a, b), v in got.items():
+        assert v == _pt.approx(stf(a, b), abs=1e-12), (a, b)
+    # sanity: exact-shared tokens score high, disjoint docs score 0
+    assert got[(1, 2)] > 0.5
+    assert got[(1, 3)] == 0.0
+    assert got[(1, 4)] > got[(1, 3)]
