@@ -319,6 +319,25 @@ def main() -> None:
     )
     qs["quality_bands"] = m.queries()["quality_bands"]
 
+    # Monge-Elkan / soft TF-IDF (round 4): candidate pairs equi-join their
+    # token (+weight) arrays, the JW cross-product runs inside ONE Arrow
+    # kernel — no cartesian product, no per-group applyInPandas.
+    audits["monge_elkan"] = (
+        ["!CartesianProduct", "!FlatMapGroupsInPandas", "MapInPandas",
+         "HashAggregate"],
+        "token arrays attach via id equi-joins; the token cross-product "
+        "lives inside the Arrow kernel, never in the plan",
+    )
+    qs["monge_elkan"] = m.queries()["monge_elkan"]
+
+    audits["soft_tfidf"] = (
+        ["!CartesianProduct", "!FlatMapGroupsInPandas", "MapInPandas",
+         "HashAggregate"],
+        "tf-idf weights are hash aggs; sorted (token, weight) arrays "
+        "attach via id equi-joins; JW cross + argmax inside the kernel",
+    )
+    qs["soft_tfidf"] = m.queries()["soft_tfidf"]
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
