@@ -202,3 +202,76 @@ def test_soft_tfidf_matches_pure_python(spark):
     assert got[(1, 2)] > 0.5
     assert got[(1, 3)] == 0.0
     assert got[(1, 4)] > got[(1, 3)]
+
+
+def test_monge_elkan_and_soft_tfidf_randomized_parity(spark):
+    """Seeded randomized sweep: random token multisets (shared vocab with
+    typos, duplicates, empties) — engine scores must match the literal
+    pure-python definitions exactly."""
+    import random
+
+    from deepblocker_spark.operators.scoring import (
+        jaro_winkler,
+        monge_elkan_scores,
+        soft_tfidf_scores,
+        tfidf_vectors,
+    )
+
+    rng = random.Random(23)
+    vocab = ["acme", "corp", "global", "media", "zenith", "north",
+             "labs", "inc", "acm", "corpp", "globel", "medai"]
+
+    def rand_text():
+        k = rng.randrange(0, 6)
+        return " ".join(rng.choice(vocab) for _ in range(k))
+
+    docs = [(i, rand_text()) for i in range(30)]
+    ddf = spark.createDataFrame(docs, "id long, text string")
+    pair_rows = [(rng.randrange(30), rng.randrange(30)) for _ in range(40)]
+    pair_rows = [(a, b) for a, b in dict.fromkeys(pair_rows)]
+    pdf = spark.createDataFrame(pair_rows, "a long, b long")
+
+    toks = {i: t.split() if t else [] for i, t in docs}
+
+    # Monge-Elkan
+    tdf = ddf.selectExpr("id", "split(text, ' ') as tk") \
+        .selectExpr("id", "filter(tk, t -> t <> '') as tk")
+    joined = (
+        pdf.join(tdf.selectExpr("id as a", "tk as lt"), "a")
+        .join(tdf.selectExpr("id as b", "tk as rt"), "b")
+    )
+    got_me = {(r.a, r.b): r.me_jw for r in
+              monge_elkan_scores(joined, "lt", "rt").collect()}
+
+    def me(L, R):
+        if not L or not R:
+            return 0.0
+        return sum(max(jaro_winkler(t, u, boost_threshold=0.7) for u in R)
+                   for t in L) / len(L)
+
+    import pytest as _pt
+    for a, b in pair_rows:
+        assert got_me[(a, b)] == _pt.approx(me(toks[a], toks[b]), abs=1e-12)
+
+    # soft TF-IDF
+    w = tfidf_vectors(ddf, id_col="id", text_col="text")
+    wmap: dict = {}
+    for r in w.collect():
+        wmap.setdefault(r.id, {})[r.token] = r.wn
+    got_st = {(r.a, r.b): r.soft_tfidf for r in
+              soft_tfidf_scores(pdf, w, theta=0.88).collect()}
+
+    def stf(a, b):
+        s = 0.0
+        for t, wt in wmap.get(a, {}).items():
+            best, bu = -1.0, None
+            for u in sorted(wmap.get(b, {})):
+                j = jaro_winkler(t, u, boost_threshold=0.7)
+                if j > best:
+                    best, bu = j, u
+            if bu is not None and best >= 0.88:
+                s += wt * wmap[b][bu] * best
+        return s
+
+    for a, b in pair_rows:
+        assert got_st[(a, b)] == _pt.approx(stf(a, b), abs=1e-12), (a, b)
