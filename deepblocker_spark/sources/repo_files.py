@@ -19,6 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 REPO_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+#: explicit schema for the self-describing-less formats (csv/json): type
+#: inference must never silently change a column's type between runs
+REPO_SCHEMA = ", ".join(f"{c} string" for c in REPO_COLUMNS)
 UNIT_SEP = "\x1f"
 
 
@@ -36,11 +39,28 @@ def load_repo_table(
     fmt: str = "parquet",
 ) -> DataFrame:
     """Read the repo-file table and attach durable keys. ``fmt`` is
-    'iceberg' (table identifier) or 'parquet' (path)."""
+    'iceberg' (table identifier) or a path-based lake format: 'parquet',
+    'orc', 'json' (JSON-lines), 'csv' (with header). The durable id and
+    content sha are format-independent — the same rows load the same keys
+    from any of them (round-trip-tested across all four path formats)."""
     if fmt == "iceberg":
         df = spark.read.format("iceberg").load(path_or_table)
+    elif fmt == "csv":
+        # multiLine: document content embeds newlines (quoted by the
+        # writer); without it each physical line parses as a row
+        df = (
+            spark.read.options(header=True, multiLine=True)
+            .schema(REPO_SCHEMA)
+            .csv(path_or_table)
+        )
+    elif fmt == "json":
+        df = spark.read.schema(REPO_SCHEMA).json(path_or_table)
+    elif fmt in ("parquet", "orc"):
+        df = spark.read.format(fmt).load(path_or_table)
     else:
-        df = spark.read.parquet(path_or_table)
+        raise ValueError(
+            f"unknown fmt {fmt!r} (iceberg, parquet, orc, json, csv)"
+        )
     missing = [c for c in REPO_COLUMNS if c not in df.columns]
     if missing:
         raise ValueError(f"repo table missing columns {missing}; has {df.columns}")

@@ -68,3 +68,37 @@ def test_csv_source_parity(spark, tmp_path):
     cands.write.mode("overwrite").csv(sink, header=True)
     back = spark.read.csv(sink, header=True, inferSchema=True)
     assert [tuple(r) for r in back.collect()] == [(1, 2, 0.9)]
+
+
+def test_repo_table_round_trips_every_lake_format(spark, tmp_path):
+    """load_repo_table reads parquet / orc / json-lines / csv with
+    identical rows and identical durable keys — the id/content_sha
+    invariant is format-independent. Unknown formats are rejected."""
+    import pytest
+
+    from deepblocker_spark.sources.repo_files import load_repo_table
+
+    rows = [
+        ("r1", "a/b.py", "c1", "py", "print('hi, world')"),
+        ("r1", "a/c.py", "c2", "py", "x = 1\ny = 2"),
+        ("r2", "d.md", "c3", "md", "# title, with commas"),
+        ("r2", "e.md", "c4", "md", None),  # null content -> sha('')
+    ]
+    src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    loaded = {}
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = str(tmp_path / fmt)
+        w = src.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.options(header=True)
+        w.format(fmt).save(p)
+        loaded[fmt] = sorted(
+            (r.id, r.content_sha, r.repo, r.path, r.commit, r.lang)
+            for r in load_repo_table(spark, p, fmt=fmt).collect()
+        )
+    assert loaded["parquet"] == loaded["orc"] == loaded["json"] == loaded["csv"]
+    assert len(loaded["parquet"]) == 4
+    with pytest.raises(ValueError):
+        load_repo_table(spark, str(tmp_path / "parquet"), fmt="avro")
