@@ -477,6 +477,21 @@ def q_monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("me_jw", 6).alias("me_jw"))
 
 
+def q_minhash_pairs_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clean-clean text near-dup join (two corpora = the doc_id parity
+    # halves): banded minhash across sides only, exact-Jaccard verified.
+    # The text analogue of the dyadic vector joins. Full value oracle.
+    from deepblocker_spark.operators.dedup import minhash_lsh_pairs_dyadic
+
+    docs = _t(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs_dyadic(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        num_hashes=16, n_bands=8, jaccard_threshold=0.9,
+    )
+    return out.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+
+
 def q_soft_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # soft TF-IDF (Cohen IIWeb'03) over the minhash candidates: tf-idf
     # agreement with Jaro-Winkler-soft token matching (theta=0.9) on
@@ -1167,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monge_elkan": q_monge_elkan,
         "curation_sample": q_curation_sample,
         "soft_tfidf": q_soft_tfidf,
+        "minhash_pairs_dyadic": q_minhash_pairs_dyadic,
         "pr_sweep": q_pr_sweep,
         "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
@@ -1286,6 +1302,59 @@ with base as (
          len(list_filter(ta.dtoks, t -> list_contains(tb.dtoks, t))) as inter,
          len(ta.dtoks) as na, len(tb.dtoks) as nb
   from cand join base ta on cand.a = ta.id join base tb on cand.b = tb.id
+)
+select a, b, round(inter::DOUBLE / (na + nb - inter), 9) as jaccard
+from verified
+where inter::DOUBLE / (na + nb - inter) >= 0.9
+"""
+
+    minhash_pairs_dyadic_sql = f"""
+with basel as (
+  select * from (select doc_id as id, list_distinct({_TOKS}) as dtoks
+                 from documents where doc_id % 2 = 0)
+  where len(dtoks) > 0
+), baser as (
+  select * from (select doc_id as id, list_distinct({_TOKS}) as dtoks
+                 from documents where doc_id % 2 = 1)
+  where len(dtoks) > 0
+), sigl as (
+  select id, {_minhash_cols_sql(16)} from basel
+), sigr as (
+  select id, {_minhash_cols_sql(16)} from baser
+), bkl as (
+  select id, band,
+         case band
+           when 0 then md5(mh0 || '|' || mh1)
+           when 1 then md5(mh2 || '|' || mh3)
+           when 2 then md5(mh4 || '|' || mh5)
+           when 3 then md5(mh6 || '|' || mh7)
+           when 4 then md5(mh8 || '|' || mh9)
+           when 5 then md5(mh10 || '|' || mh11)
+           when 6 then md5(mh12 || '|' || mh13)
+           when 7 then md5(mh14 || '|' || mh15)
+         end as key
+  from sigl, unnest(generate_series(0, 7)) as t(band)
+), bkr as (
+  select id, band,
+         case band
+           when 0 then md5(mh0 || '|' || mh1)
+           when 1 then md5(mh2 || '|' || mh3)
+           when 2 then md5(mh4 || '|' || mh5)
+           when 3 then md5(mh6 || '|' || mh7)
+           when 4 then md5(mh8 || '|' || mh9)
+           when 5 then md5(mh10 || '|' || mh11)
+           when 6 then md5(mh12 || '|' || mh13)
+           when 7 then md5(mh14 || '|' || mh15)
+         end as key
+  from sigr, unnest(generate_series(0, 7)) as t(band)
+), cand as (
+  select distinct l.id as a, r.id as b
+  from bkl l join bkr r on l.band = r.band and l.key = r.key
+), verified as (
+  select a, b,
+         len(list_filter(ta.dtoks, t -> list_contains(tb.dtoks, t))) as inter,
+         len(ta.dtoks) as na, len(tb.dtoks) as nb
+  from cand join basel ta on cand.a = ta.id join baser tb on cand.b = tb.id
 )
 select a, b, round(inter::DOUBLE / (na + nb - inter), 9) as jaccard
 from verified
@@ -1996,6 +2065,7 @@ me as (select a, b, avg(m) as me from cx group by a, b)
 select p.a, p.b, round(coalesce(me.me, 0), 6) as me_jw
 from (select distinct a, b from pairs) p left join me using (a, b)
 """,
+        "minhash_pairs_dyadic": minhash_pairs_dyadic_sql,
         "soft_tfidf": f"""
 with pairs as (select distinct a, b from ({minhash_pairs_sql})),
 tok as (

@@ -78,30 +78,21 @@ def minhash_signatures(
     return df.select(F.col(id_col), *minhash_signature_cols(toks, num_hashes))
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_hashes: int = 16,
-    n_bands: int = 4,
-    jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """-> (a, b, jaccard) with a < b and exact (distinct-token) Jaccard >=
-    threshold, candidates generated by banded minhash LSH.
-
-    Plan shape: signatures (narrow) -> explode to (id, band, key) ->
-    self-equi-join on (band, key) -> distinct pairs -> verify join pulling
-    both token sets -> Jaccard filter. The verify join is the only stage
-    touching full token arrays.
-    """
-    assert num_hashes % n_bands == 0
-    rows_per_band = num_hashes // n_bands
+def _minhash_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, toks): distinct token sets, empty-token rows dropped (they can
+    never clear a Jaccard threshold and their signatures are NULL)."""
     toks = F.array_distinct(tokens_col(text_col))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
+    return df.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
         F.size("toks") > 0
     )
+
+
+def _banded_keys(base: DataFrame, num_hashes: int, n_bands: int) -> DataFrame:
+    """(id, band, key): md5 of each band's signature rows — shared by the
+    self and clean-clean LSH joins."""
+    rows_per_band = num_hashes // n_bands
     sig = base.select("id", *minhash_signature_cols(F.col("toks"), num_hashes))
-    band_keys = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.array(
@@ -123,6 +114,27 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.key")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """-> (a, b, jaccard) with a < b and exact (distinct-token) Jaccard >=
+    threshold, candidates generated by banded minhash LSH.
+
+    Plan shape: signatures (narrow) -> explode to (id, band, key) ->
+    self-equi-join on (band, key) -> distinct pairs -> verify join pulling
+    both token sets -> Jaccard filter. The verify join is the only stage
+    touching full token arrays.
+    """
+    assert num_hashes % n_bands == 0
+    base = _minhash_base(df, id_col, text_col)
+    band_keys = _banded_keys(base, num_hashes, n_bands)
 
     l = band_keys.select(F.col("id").alias("a"), "band", "key")
     r = band_keys.select(F.col("id").alias("b"), "band", "key")
@@ -147,6 +159,50 @@ def minhash_lsh_pairs(
         .select("a", "b", "jaccard")
     )
     return verified
+
+
+def minhash_lsh_pairs_dyadic(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str = "doc_id",
+    r_id: str = "doc_id",
+    l_text: str = "text",
+    r_text: str = "text",
+    num_hashes: int = 16,
+    n_bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Clean-clean (two-corpus) banded-minhash near-dup join — the text
+    analogue of the engine's dyadic LSH/IVF/PQ vector joins and the
+    reference's block_datasets call shape. -> (a, b, jaccard) with a from
+    ``left``, b from ``right``, exact distinct-token Jaccard >=
+    threshold; candidates from a CROSS-side equi-join on (band, key), so
+    within-corpus pairs never materialize. Same plan shape as the self
+    variant; one signature pass per side."""
+    assert num_hashes % n_bands == 0
+    bl = _minhash_base(left, l_id, l_text)
+    br = _minhash_base(right, r_id, r_text)
+    kl = _banded_keys(bl, num_hashes, n_bands).select(
+        F.col("id").alias("a"), "band", "key"
+    )
+    kr = _banded_keys(br, num_hashes, n_bands).select(
+        F.col("id").alias("b"), "band", "key"
+    )
+    cand = kl.join(kr, ["band", "key"]).select("a", "b").dropDuplicates()
+    ta = bl.select(F.col("id").alias("a"), F.col("toks").alias("toks_a"))
+    tb = br.select(F.col("id").alias("b"), F.col("toks").alias("toks_b"))
+    return (
+        cand.join(ta, "a")
+        .join(tb, "b")
+        .withColumn("inter", F.size(F.array_intersect("toks_a", "toks_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("toks_a") + F.size("toks_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -180,3 +180,32 @@ def test_purged_blocks_lists_exactly_the_dropped_blocks(spark):
     all_keys = {(r["lang"], r["source"]) for r in df.collect()}
     singles = {("fr", "s2")}
     assert covered | {(r["lang"], r["source"]) for r in purged} | singles == all_keys
+
+
+def test_minhash_dyadic_cross_side_only_and_consistent_with_self(spark):
+    from deepblocker_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_dyadic,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, base + (f" extra{i}" if i % 3 == 0 else "")) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    left = df.filter("doc_id % 2 = 0")
+    right = df.filter("doc_id % 2 = 1")
+    dy = minhash_lsh_pairs_dyadic(
+        left, right, num_hashes=16, n_bands=8, jaccard_threshold=0.8
+    ).collect()
+    assert dy
+    assert all(r.a % 2 == 0 and r.b % 2 == 1 for r in dy)
+    # dyadic pairs == the self-join's cross-parity subset (same bands,
+    # same threshold): neither side gains nor loses a cross pair
+    selfp = minhash_lsh_pairs(
+        df, num_hashes=16, n_bands=8, jaccard_threshold=0.8
+    ).collect()
+    cross_from_self = {
+        (r.a, r.b) if r.a % 2 == 0 else (r.b, r.a)
+        for r in selfp
+        if r.a % 2 != r.b % 2
+    }
+    assert {(r.a, r.b) for r in dy} == cross_from_self
