@@ -294,6 +294,22 @@ def q_key_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_blocking_pairs(docs, ["lang", "source"], id_col="doc_id")
 
 
+def q_key_blocking_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clean-clean attribute blocking (the reference's block_datasets call
+    # shape on the cheapest blocker): RANGE halves (parity would share no
+    # keys — the generator assigns source per doc_id modulus) joined under
+    # (lang, source) equality with the joint block size. Full value oracle.
+    from deepblocker_spark.operators.dedup import key_blocking_pairs_dyadic
+
+    docs = _t(spark, sf_dir, "documents")
+    mid = 250  # both test scales carry 500 docs with ids 0..499
+    return key_blocking_pairs_dyadic(
+        docs.filter(F.col("doc_id") < mid),
+        docs.filter(F.col("doc_id") >= mid),
+        ["lang", "source"],
+    )
+
+
 def q_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lossless edit-distance threshold self-join (PassJoin pigeonhole
     # segments, Li et al. VLDB'12): EXACTLY the part-name pairs within
@@ -1163,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_components": q_cc_components,
         "key_blocking": q_key_blocking,
         "key_blocking_purged": q_key_blocking_purged,
+        "key_blocking_dyadic": q_key_blocking_dyadic,
         "edit_join": q_edit_join,
         "edit_join_dyadic": q_edit_join_dyadic,
         "suffix_blocking": q_suffix_blocking,
@@ -2019,6 +2036,18 @@ from u group by a, b
         "key_blocking_purged": """
 select lang, source, count(*)::BIGINT as block_size
 from documents group by lang, source having count(*) > 8
+""",
+        "key_blocking_dyadic": """
+with l as (select doc_id, lang, source from documents where doc_id < 250),
+r as (select doc_id, lang, source from documents where doc_id >= 250),
+s as (
+  select sl.lang, sl.source, (sl.n + sr.n)::BIGINT as block_size
+  from (select lang, source, count(*) as n from l group by lang, source) sl
+  join (select lang, source, count(*) as n from r group by lang, source) sr
+    using (lang, source)
+)
+select l.doc_id as a, r.doc_id as b, l.lang, l.source, s.block_size
+from l join r using (lang, source) join s using (lang, source)
 """,
         "meta_blocking": meta_blocking_sql,
         "meta_blocking_cnp": meta_blocking_cnp_sql,

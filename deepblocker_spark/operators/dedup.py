@@ -797,6 +797,56 @@ def key_blocking_pairs(
     )
 
 
+def key_blocking_pairs_dyadic(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    l_id: str = "doc_id",
+    r_id: str = "doc_id",
+    max_block_rows: int | None = None,
+) -> DataFrame:
+    """Clean-clean attribute blocking — the reference's primary call shape
+    (block table A against table B) on the cheapest blocker: cross-table
+    pairs under key equality, each with the joint block size (rows of the
+    key on the left + right). ``max_block_rows`` purges oversized JOINT
+    blocks before pair generation, audited by ``purged_blocks_dyadic``
+    (never silent). One co-partitioned equi-join on the key."""
+    kl = left.select(F.col(l_id).alias("a"), *key_cols)
+    kr = right.select(F.col(r_id).alias("b"), *key_cols)
+    sl = kl.groupBy(*key_cols).agg(F.count("*").alias("_nl"))
+    sr = kr.groupBy(*key_cols).agg(F.count("*").alias("_nr"))
+    sizes = sl.join(sr, list(key_cols)).select(
+        *key_cols, (F.col("_nl") + F.col("_nr")).alias("block_size")
+    )
+    if max_block_rows is not None:
+        sizes = sizes.filter(F.col("block_size") <= max_block_rows)
+    return (
+        kl.join(kr, list(key_cols))
+        .join(sizes, list(key_cols))
+        .select("a", "b", *key_cols,
+                F.col("block_size").cast("long").alias("block_size"))
+    )
+
+
+def purged_blocks_dyadic(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    max_block_rows: int,
+) -> DataFrame:
+    """(key_cols..., block_size) joint blocks the dyadic purge EXCLUDES —
+    the audit companion of ``key_blocking_pairs_dyadic`` (no silent
+    caps)."""
+    sl = left.groupBy(*key_cols).agg(F.count("*").alias("_nl"))
+    sr = right.groupBy(*key_cols).agg(F.count("*").alias("_nr"))
+    return (
+        sl.join(sr, list(key_cols))
+        .select(*key_cols, (F.col("_nl") + F.col("_nr")).alias("block_size"))
+        .filter(F.col("block_size") > max_block_rows)
+        .select(*key_cols, F.col("block_size").cast("long").alias("block_size"))
+    )
+
+
 def purged_blocks(
     df: DataFrame,
     key_cols: list[str],

@@ -209,3 +209,28 @@ def test_minhash_dyadic_cross_side_only_and_consistent_with_self(spark):
         if r.a % 2 != r.b % 2
     }
     assert {(r.a, r.b) for r in dy} == cross_from_self
+
+
+def test_key_blocking_dyadic_and_purge_audit(spark):
+    from deepblocker_spark.operators.dedup import (
+        key_blocking_pairs_dyadic,
+        purged_blocks_dyadic,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "z")], "doc_id long, k string"
+    )
+    right = spark.createDataFrame(
+        [(10, "x"), (11, "y"), (12, "y"), (13, "w")], "doc_id long, k string"
+    )
+    out = key_blocking_pairs_dyadic(left, right, ["k"]).collect()
+    got = {(r.a, r.b): r.block_size for r in out}
+    # x: 2 left x 1 right (joint 3); y: 1 x 2 (joint 3); z/w unmatched
+    assert got == {(1, 10): 3, (2, 10): 3, (3, 11): 3, (3, 12): 3}
+    # purge joint blocks > 2: everything goes, and the audit lists exactly
+    # the excluded blocks
+    capped = key_blocking_pairs_dyadic(left, right, ["k"], max_block_rows=2)
+    assert capped.count() == 0
+    purged = {(r.k, r.block_size)
+              for r in purged_blocks_dyadic(left, right, ["k"], 2).collect()}
+    assert purged == {("x", 3), ("y", 3)}
