@@ -15,6 +15,7 @@ counts/len are BIGINT).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1159,6 +1160,121 @@ def q_nearest_name_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Fellegi-Sunter probabilistic linkage (operators/linkage.py) ---------
+# Shared pair set for the three fs_* queries: documents self-joined on a
+# deterministic modulus block (doc_id % 10) — trivially SQL-mirrorable, and
+# non-degenerate at both oracle scales (each gamma takes every level).
+# The fixed scoring params below are ILLUSTRATIVE (documented, not fitted):
+# the fs_scores_fixed oracle checks the scoring algebra exactly; the EM fit
+# itself is iterative (rows-only driver check) and is correctness-gated by
+# tests/test_linkage.py's planted-parameter recovery.
+
+_FS_FIXED = {
+    "lam": 0.05,
+    "m": {"src": [0.1, 0.9], "len": [0.05, 0.25, 0.7], "jw": [0.05, 0.2, 0.75]},
+    "u": {"src": [0.7, 0.3], "len": [0.5, 0.3, 0.2], "jw": [0.85, 0.12, 0.03]},
+}
+
+
+def _fs_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    lhs = docs.select(
+        F.col("doc_id").alias("a"),
+        F.col("source").alias("ls"),
+        F.col("n_chars").alias("ln"),
+        F.substring("text", 1, 24).alias("ta"),
+        (F.col("doc_id") % 10).alias("bk"),
+    )
+    rhs = docs.select(
+        F.col("doc_id").alias("b"),
+        F.col("source").alias("rs"),
+        F.col("n_chars").alias("rn"),
+        F.substring("text", 1, 24).alias("tb"),
+        (F.col("doc_id") % 10).alias("bk"),
+    )
+    return lhs.join(rhs, "bk").filter(F.col("a") < F.col("b"))
+
+
+def _fs_doc_comparisons():
+    from deepblocker_spark.operators.linkage import Comparison
+    from deepblocker_spark.operators.scoring import make_jaro_winkler_udf
+
+    # round-6 JW before thresholding: cand_jw_scores proves the engine
+    # kernel and DuckDB agree bit-exactly at 6 decimals, so >= comparisons
+    # on the rounded value are deterministic across both engines
+    jw = F.round(
+        make_jaro_winkler_udf(boost_threshold=0.7)(F.col("ta"), F.col("tb")), 6
+    )
+    d = F.abs(F.col("ln") - F.col("rn"))
+    return [
+        Comparison(
+            "src", 2, F.when(F.col("ls") == F.col("rs"), 1).otherwise(0)
+        ),
+        Comparison("len", 3, F.when(d <= 10, 2).when(d <= 100, 1).otherwise(0)),
+        Comparison("jw", 3, F.when(jw >= 0.95, 2).when(jw >= 0.70, 1).otherwise(0)),
+    ]
+
+
+def q_fs_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fellegi-Sunter stage 1+2: gamma agreement vectors (JVM CASE ladders +
+    # the Arrow JW kernel) hash-aggregated into the pattern contingency
+    # table — the <= 18-row frame EM consumes. Full value oracle.
+    from deepblocker_spark.operators.linkage import (
+        comparison_vectors,
+        pattern_counts,
+    )
+
+    comps = _fs_doc_comparisons()
+    gam = comparison_vectors(_fs_doc_pairs(spark, sf_dir), comps)
+    return pattern_counts(gam, comps)
+
+
+def q_fs_scores_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fellegi-Sunter stage 4 with documented FIXED params: per-pair log2
+    # Bayes-factor weight and posterior match probability as pure
+    # CASE-literal arithmetic (log2(m/u) precomputed on the driver — no
+    # runtime transcendentals, so the oracle matches IEEE-exactly before
+    # the convention-driven round). Full value oracle.
+    from deepblocker_spark.operators.linkage import FSParams, comparison_vectors, score_pairs
+
+    comps = _fs_doc_comparisons()
+    params = FSParams(
+        lam=_FS_FIXED["lam"], m=_FS_FIXED["m"], u=_FS_FIXED["u"]
+    )
+    gam = comparison_vectors(_fs_doc_pairs(spark, sf_dir), comps)
+    scored = score_pairs(gam, comps, params)
+    return scored.select(
+        "a",
+        "b",
+        "gamma_src",
+        "gamma_len",
+        "gamma_jw",
+        F.round("match_weight", 9).alias("match_weight"),
+        F.round("match_probability", 9).alias("match_probability"),
+    )
+
+
+def q_fs_em_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full unsupervised pipeline: gammas -> pattern table -> driver EM
+    # (Winkler 1988) -> scored pairs. EM is iterative (deterministic fixed
+    # init, float64) -> rows-only driver check; parameter recovery is
+    # pytest-gated against planted ground truth (test_linkage.py).
+    from deepblocker_spark.operators.linkage import fs_link
+
+    comps = _fs_doc_comparisons()
+    scored, params = fs_link(
+        _fs_doc_pairs(spark, sf_dir), comps, max_iter=1000, tol=1e-7
+    )
+    return scored.select(
+        "a",
+        "b",
+        "gamma_src",
+        "gamma_len",
+        "gamma_jw",
+        F.round("match_probability", 6).alias("match_probability"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "preprocess_merge": q_preprocess_merge,
@@ -1206,6 +1322,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_clusters": q_star_clusters,
         "cluster_eval": q_cluster_eval,
         "group_linkage": q_group_linkage,
+        "fs_patterns": q_fs_patterns,
+        "fs_scores_fixed": q_fs_scores_fixed,
+        "fs_em_link": q_fs_em_link,
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
         "mktsegment_orders": q_mktsegment_orders,
@@ -1970,6 +2089,79 @@ from (
 where rn = 1
 """
 
+    # Fellegi-Sunter oracles: the gamma CASE ladders mirror
+    # _fs_doc_comparisons() exactly (round-6 JW before thresholding — the
+    # cand_jw_scores oracle proves round-6 JW parity); the scoring arms
+    # embed the SAME python-computed double literals the Spark CASE
+    # columns carry (repr round-trips to identical doubles), so weight and
+    # probability are IEEE-identical before the convention round-9.
+    _fs_gamma_cte = """
+with p as (
+  select l.doc_id as a, r.doc_id as b, l.source as ls, r.source as rs,
+         l.n_chars as ln, r.n_chars as rn,
+         substr(l.text, 1, 24) as ta, substr(r.text, 1, 24) as tb
+  from documents l join documents r
+    on l.doc_id % 10 = r.doc_id % 10 and l.doc_id < r.doc_id
+),
+g as (
+  select a, b,
+         case when ls = rs then 1 else 0 end as gamma_src,
+         case when abs(ln - rn) <= 10 then 2
+              when abs(ln - rn) <= 100 then 1 else 0 end as gamma_len,
+         case when round(jaro_winkler_similarity(ta, tb), 6) >= 0.95 then 2
+              when round(jaro_winkler_similarity(ta, tb), 6) >= 0.70 then 1
+              else 0 end as gamma_jw
+  from p
+)"""
+
+    fs_patterns_sql = f"""{_fs_gamma_cte}
+select gamma_src, gamma_len, gamma_jw, count(*)::BIGINT as n_pairs
+from g group by 1, 2, 3
+"""
+
+    def _fs_case(col: str, vals: list[float]) -> str:
+        # ::DOUBLE on every literal — DuckDB types bare decimal literals
+        # as DECIMAL and would do fixed-point arithmetic otherwise
+        arms = " ".join(
+            f"when {col} = {lvl} then {v!r}::DOUBLE" for lvl, v in enumerate(vals)
+        )
+        return f"(case {arms} end)"
+
+    _lam = _FS_FIXED["lam"]
+    _w = {
+        f: [
+            math.log2(m / u)
+            for m, u in zip(_FS_FIXED["m"][f], _FS_FIXED["u"][f])
+        ]
+        for f in ("src", "len", "jw")
+    }
+    _r = {
+        f: [m / u for m, u in zip(_FS_FIXED["m"][f], _FS_FIXED["u"][f])]
+        for f in ("src", "len", "jw")
+    }
+    # operand order matches match_weight_col / match_ratio_col: a left-
+    # associated fold starting from the identity, field order src, len, jw
+    _w_expr = (
+        "0.0::DOUBLE + "
+        + " + ".join(_fs_case(f"gamma_{f}", _w[f]) for f in ("src", "len", "jw"))
+    )
+    _k_expr = (
+        "1.0::DOUBLE * "
+        + " * ".join(_fs_case(f"gamma_{f}", _r[f]) for f in ("src", "len", "jw"))
+    )
+    fs_scores_fixed_sql = f"""{_fs_gamma_cte},
+s as (
+  select a, b, gamma_src, gamma_len, gamma_jw,
+         {_w_expr} as w,
+         {_lam!r}::DOUBLE * ({_k_expr}) as lk
+  from g
+)
+select a, b, gamma_src, gamma_len, gamma_jw,
+       round(w, 9) as match_weight,
+       round(lk / (lk + {1.0 - _lam!r}::DOUBLE), 9) as match_probability
+from s
+"""
+
     return {
         "preprocess_merge": """
 select doc_id,
@@ -2005,6 +2197,8 @@ select doc_id, {_minhash_cols_sql(8)} from t
 """,
         "minhash_pairs": minhash_pairs_sql,
         "cand_jw_scores": cand_jw_sql,
+        "fs_patterns": fs_patterns_sql,
+        "fs_scores_fixed": fs_scores_fixed_sql,
         "tfidf_cosine": tfidf_cosine_sql,
         "nearest_name_lev": nearest_name_sql,
         "ngram_jaccard": ngram_sql,

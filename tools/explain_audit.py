@@ -338,6 +338,37 @@ def main() -> None:
     )
     qs["soft_tfidf"] = m.queries()["soft_tfidf"]
 
+    # Fellegi-Sunter gammas + pattern table: the only python in the plan is
+    # the Arrow-batched JW kernel (ArrowEvalPython, never a row-at-a-time
+    # BatchEvalPython); the gamma CASE ladders are codegen'd Projects; the
+    # contingency table is a partial+final hash agg whose output is bounded
+    # by prod(levels) rows regardless of pair count; scan pruned to the
+    # four compared columns.
+    audits["fs_patterns"] = (
+        ["ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct",
+         "HashAggregate",
+         "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"],
+        "gammas are JVM CASE ladders + one Arrow JW kernel; pattern "
+        "counts via partial+final hash agg (<= 18 rows out); modulus "
+        "block self-join is an equi-join, no cartesian; scan pruned to "
+        "(doc_id, text, source, n_chars)",
+    )
+    qs["fs_patterns"] = m.queries()["fs_patterns"]
+
+    # Fixed-params FS scoring: weight/probability are CASE-literal
+    # arithmetic over the gamma ints — pure codegen Project, no second
+    # python runner beyond the JW kernel and NO aggregation or extra
+    # exchange added on top of the gamma plan.
+    audits["fs_scores_fixed"] = (
+        ["ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct",
+         "!HashAggregate",
+         "ReadSchema: struct<doc_id:bigint,text:string,source:string,n_chars:bigint>"],
+        "scoring adds zero plan weight: CASE-literal multiplies/adds in "
+        "the same codegen Project as the gammas — no agg, no extra "
+        "exchange, no python beyond the one Arrow JW kernel",
+    )
+    qs["fs_scores_fixed"] = m.queries()["fs_scores_fixed"]
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
