@@ -1160,6 +1160,29 @@ def q_nearest_name_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # training-data decontamination (GPT-3 appendix-C style): train docs
+    # sharing >=1 3-token shingle with the held-out eval split (doc_id
+    # % 10 = 7), with train-side hot shingles (df > 5) dropped from both
+    # sides and containment = shared / eval-shingles over the reduced
+    # space. Inverted-index equi-join + hash aggs. Full value oracle.
+    from deepblocker_spark.operators.dedup import decontamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = decontamination_pairs(
+        docs.filter(F.col("doc_id") % 10 != 7),
+        docs.filter(F.col("doc_id") % 10 == 7),
+        n=3,
+        max_train_shingle_df=5,
+    )
+    return out.select(
+        "train_id",
+        "eval_id",
+        "n_shared",
+        F.round("containment", 9).alias("containment"),
+    )
+
+
 # --- Fellegi-Sunter probabilistic linkage (operators/linkage.py) ---------
 # Shared pair set for the three fs_* queries: documents self-joined on a
 # deterministic modulus block (doc_id % 10) — trivially SQL-mirrorable, and
@@ -1322,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_clusters": q_star_clusters,
         "cluster_eval": q_cluster_eval,
         "group_linkage": q_group_linkage,
+        "decontam_overlap": q_decontam_overlap,
         "fs_patterns": q_fs_patterns,
         "fs_scores_fixed": q_fs_scores_fixed,
         "fs_em_link": q_fs_em_link,
@@ -2089,6 +2113,39 @@ from (
 where rn = 1
 """
 
+    decontam_sql = f"""
+with t as (select doc_id as id, {_TOKS} as toks from documents),
+s as (
+  select id,
+         case when len(toks) >= 3
+              then list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+              else [] end as sh
+  from t
+),
+inv as (select id, unnest(sh) as shingle from s where len(sh) > 0),
+hot as (
+  select shingle from inv where id % 10 <> 7
+  group by shingle having count(*) > 5
+),
+ti as (
+  select id as train_id, shingle from inv
+  where id % 10 <> 7 and shingle not in (select shingle from hot)
+),
+ei as (
+  select id as eval_id, shingle from inv
+  where id % 10 = 7 and shingle not in (select shingle from hot)
+),
+esz as (select eval_id, count(*)::BIGINT as e_sh from ei group by 1),
+shared as (
+  select train_id, eval_id, count(*)::BIGINT as n_shared
+  from ti join ei using (shingle) group by 1, 2
+)
+select train_id, eval_id, n_shared,
+       round(n_shared::DOUBLE / e_sh, 9) as containment
+from shared join esz using (eval_id)
+"""
+
     # Fellegi-Sunter oracles: the gamma CASE ladders mirror
     # _fs_doc_comparisons() exactly (round-6 JW before thresholding — the
     # cand_jw_scores oracle proves round-6 JW parity); the scoring arms
@@ -2197,6 +2254,7 @@ select doc_id, {_minhash_cols_sql(8)} from t
 """,
         "minhash_pairs": minhash_pairs_sql,
         "cand_jw_scores": cand_jw_sql,
+        "decontam_overlap": decontam_sql,
         "fs_patterns": fs_patterns_sql,
         "fs_scores_fixed": fs_scores_fixed_sql,
         "tfidf_cosine": tfidf_cosine_sql,

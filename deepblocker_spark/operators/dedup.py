@@ -301,6 +301,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.0,
+    max_train_shingle_df: int | None = None,
+) -> DataFrame:
+    """Training-data decontamination: (train_id, eval_id, n_shared,
+    containment) for every train document sharing at least one n-token
+    shingle with an eval document, where ``containment`` is the fraction
+    of the eval doc's (distinct) shingles found in the train doc — the
+    N-gram-overlap decontamination rule used by public LLM training
+    pipelines (GPT-3 appendix C / PaLM style).
+
+    Spark shape: shingle inverted index on each side, equi-join on the
+    shingle key, hash-agg per (train, eval) pair. The eval side (benchmark
+    suites) is orders of magnitude smaller than a 100 TB train corpus —
+    its exploded postings frame is small enough that AQE picks a broadcast
+    join; the train side streams through one explode + join + partial agg,
+    never materialising pairs that share no shingle.
+
+    ``max_train_shingle_df`` bounds the join's worst key: shingles
+    occurring in more than that many TRAIN documents (boilerplate,
+    licence headers) are dropped from BOTH sides before the join, and
+    ``containment`` is computed over the reduced eval shingle space so it
+    stays a true fraction. The drop is auditable: run ``hot_shingles`` on
+    the train side with the same cap to list exactly what was excluded.
+
+    ``threshold`` filters on containment (0.0 = keep any overlap).
+    """
+    def _inv(df: DataFrame, alias: str) -> DataFrame:
+        sh = df.select(
+            F.col(id_col).alias(alias),
+            token_shingles(tokens_col(text_col), n).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+        return sh.select(alias, F.explode("shingles").alias("shingle"))
+
+    t_inv = _inv(train, "train_id")
+    e_inv = _inv(eval_df, "eval_id")
+    if max_train_shingle_df is not None:
+        hot = (
+            t_inv.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_train_shingle_df)
+            .select("shingle")
+        )
+        t_inv = t_inv.join(F.broadcast(hot), "shingle", "left_anti")
+        e_inv = e_inv.join(F.broadcast(hot), "shingle", "left_anti")
+    e_sizes = e_inv.groupBy("eval_id").agg(F.count("*").alias("_e_sh"))
+    shared = (
+        t_inv.join(e_inv, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(e_sizes, "eval_id")
+        .withColumn("containment", F.col("n_shared") / F.col("_e_sh"))
+        .filter(F.col("containment") >= threshold)
+        .select("train_id", "eval_id", "n_shared", "containment")
+    )
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

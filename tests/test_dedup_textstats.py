@@ -234,3 +234,68 @@ def test_key_blocking_dyadic_and_purge_audit(spark):
     purged = {(r.k, r.block_size)
               for r in purged_blocks_dyadic(left, right, ["k"], 2).collect()}
     assert purged == {("x", 3), ("y", 3)}
+
+
+def test_decontamination_pairs_hand_computed(spark):
+    from deepblocker_spark.operators.dedup import decontamination_pairs
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # shares "alpha beta gamma"
+            (2, "beta gamma delta epsilon"),      # shares "beta gamma delta"
+            (3, "zeta eta theta iota"),           # no overlap
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")],  # 3 distinct 3-shingles
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.train_id, r.eval_id): (r.n_shared, r.containment)
+        for r in decontamination_pairs(train, ev, n=3).collect()
+    }
+    # eval shingles: {a b g, b g d, g d e}; train 1 holds 2 of them,
+    # train 2 holds 2 ("b g d", "g d e")
+    assert got == {
+        (1, 100): (2, pytest.approx(2 / 3)),
+        (2, 100): (2, pytest.approx(2 / 3)),
+    }
+
+
+def test_decontamination_stop_list_and_threshold(spark):
+    from deepblocker_spark.operators.dedup import decontamination_pairs
+
+    # "x y z" appears in 3 train docs -> dropped at cap 2 from BOTH sides;
+    # containment is then over the reduced eval shingle space
+    train = spark.createDataFrame(
+        [(1, "x y z p q r"), (2, "x y z"), (3, "x y z"), (4, "p q r s")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(9, "x y z p q r")], ["doc_id", "text"])
+    got = {
+        (r.train_id, r.eval_id): (r.n_shared, r.containment)
+        for r in decontamination_pairs(
+            train, ev, n=3, max_train_shingle_df=2
+        ).collect()
+    }
+    # eval shingles after drop: {y z p, z p q, p q r} (x y z gone);
+    # train 1 holds all 3; train 4 holds only "p q r"
+    assert got == {
+        (1, 9): (3, pytest.approx(1.0)),
+        (4, 9): (1, pytest.approx(1 / 3)),
+    }
+    kept = decontamination_pairs(
+        train, ev, n=3, max_train_shingle_df=2, threshold=0.5
+    ).collect()
+    assert {(r.train_id, r.eval_id) for r in kept} == {(1, 9)}
+
+
+def test_decontamination_short_docs_and_empty_eval(spark):
+    from deepblocker_spark.operators.dedup import decontamination_pairs
+
+    train = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    short_ev = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
+    assert decontamination_pairs(train, short_ev, n=3).count() == 0
+    empty_ev = spark.createDataFrame([], "doc_id long, text string")
+    assert decontamination_pairs(train, empty_ev, n=3).count() == 0

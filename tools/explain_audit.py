@@ -338,6 +338,20 @@ def main() -> None:
     )
     qs["soft_tfidf"] = m.queries()["soft_tfidf"]
 
+    # Decontamination: pure column-expression shingling (no python runner
+    # at all), inverted-index equi-join on the shingle key, partial+final
+    # hash aggs for the stop list / eval sizes / shared counts — no
+    # cartesian, no window; scan pruned to (doc_id, text).
+    audits["decontam_overlap"] = (
+        ["!CartesianProduct", "!ArrowEvalPython", "!BatchEvalPython",
+         "!MapInPandas", "HashAggregate",
+         "ReadSchema: struct<doc_id:bigint,text:string>"],
+        "shingles are JVM transform/slice expressions; train-eval overlap "
+        "is a shingle-keyed equi-join + hash aggs; zero python in the "
+        "plan; scan pruned to (doc_id, text)",
+    )
+    qs["decontam_overlap"] = m.queries()["decontam_overlap"]
+
     # Fellegi-Sunter gammas + pattern table: the only python in the plan is
     # the Arrow-batched JW kernel (ArrowEvalPython, never a row-at-a-time
     # BatchEvalPython); the gamma CASE ladders are codegen'd Projects; the
