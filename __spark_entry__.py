@@ -1160,6 +1160,23 @@ def q_nearest_name_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-dedup keep-first survivorship: one hash agg with min_by — the
+    # survivor's attributes come from the same min-id row. The synthetic
+    # corpus has no full-text duplicates, so the demo keys on the sha256
+    # of the 24-char prefix (non-degenerate: groups up to size 4). Full
+    # value oracle.
+    from deepblocker_spark.operators.dedup import dedup_survivors
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_survivors(
+        docs,
+        key=F.sha2(F.substring("text", 1, 24), 256),
+        id_col="doc_id",
+        carry=("lang", "source"),
+    )
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training-data decontamination (GPT-3 appendix-C style): train docs
     # sharing >=1 3-token shingle with the held-out eval split (doc_id
@@ -1345,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_clusters": q_star_clusters,
         "cluster_eval": q_cluster_eval,
         "group_linkage": q_group_linkage,
+        "dedup_survivors": q_dedup_survivors,
         "decontam_overlap": q_decontam_overlap,
         "fs_patterns": q_fs_patterns,
         "fs_scores_fixed": q_fs_scores_fixed,
@@ -2254,6 +2272,15 @@ select doc_id, {_minhash_cols_sql(8)} from t
 """,
         "minhash_pairs": minhash_pairs_sql,
         "cand_jw_scores": cand_jw_sql,
+        "dedup_survivors": """
+select min(doc_id) as doc_id,
+       arg_min(lang, doc_id) as lang,
+       arg_min(source, doc_id) as source,
+       count(*)::BIGINT as dup_count
+from (select doc_id, lang, source, sha256(substr(text, 1, 24)) as k
+      from documents)
+group by k
+""",
         "decontam_overlap": decontam_sql,
         "fs_patterns": fs_patterns_sql,
         "fs_scores_fixed": fs_scores_fixed_sql,

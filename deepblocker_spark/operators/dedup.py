@@ -301,6 +301,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_survivors(
+    df: DataFrame,
+    key: Column | str,
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact dedup with keep-first survivorship: group rows by a content
+    key (a hash / normalized-text Column or column name), keep the
+    smallest-id row per group, and report the group size. Output:
+    (id_col, *carry, dup_count) — the carried attributes come from the
+    SAME survivor row (min_by), not column-wise minima.
+
+    Scale shape: ONE partial+final hash aggregation on the key — no
+    window, no sort, no join; map-side combine collapses duplicates
+    before the shuffle, so the exchange carries ~distinct-keys rows. This
+    is the keep-first stage a 100 TB exact-dedup pass runs after
+    ``exact_duplicates``' hash grouping."""
+    keyed = df.withColumn("_k", F.col(key) if isinstance(key, str) else key)
+    aggs = [F.min(id_col).alias(id_col)]
+    aggs += [F.min_by(c, F.col(id_col)).alias(c) for c in carry]
+    aggs.append(F.count(F.lit(1)).alias("dup_count"))
+    return keyed.groupBy("_k").agg(*aggs).select(id_col, *carry, "dup_count")
+
+
 def decontamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

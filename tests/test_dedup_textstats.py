@@ -299,3 +299,38 @@ def test_decontamination_short_docs_and_empty_eval(spark):
     assert decontamination_pairs(train, short_ev, n=3).count() == 0
     empty_ev = spark.createDataFrame([], "doc_id long, text string")
     assert decontamination_pairs(train, empty_ev, n=3).count() == 0
+
+
+def test_dedup_survivors_keep_first_same_row(spark):
+    from deepblocker_spark.operators.dedup import dedup_survivors
+
+    df = spark.createDataFrame(
+        [
+            (5, "dup", "en", "web"),   # group "dup": survivor id 2
+            (2, "dup", "fr", "pdf"),
+            (9, "dup", "de", "ocr"),
+            (7, "solo", "en", "web"),
+        ],
+        ["doc_id", "text", "lang", "source"],
+    )
+    got = {
+        r.doc_id: (r.lang, r.source, r.dup_count)
+        for r in dedup_survivors(
+            df, key="text", carry=("lang", "source")
+        ).collect()
+    }
+    # carried attrs must come from the min-id ROW (fr/pdf), not be
+    # column-wise minima (de would win a naive min on lang)
+    assert got == {2: ("fr", "pdf", 3), 7: ("en", "web", 1)}
+
+
+def test_dedup_survivors_expression_key_total_rows(spark):
+    from deepblocker_spark.operators.dedup import dedup_survivors
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}") for i in range(9)], ["doc_id", "text"]
+    )
+    out = dedup_survivors(df, key=F.sha2(F.col("text"), 256)).collect()
+    assert {r.doc_id for r in out} == {0, 1, 2}
+    assert sum(r.dup_count for r in out) == 9
