@@ -78,9 +78,12 @@ class SparkSIFEmbedding:
 
     def preprocess(self, corpus: DataFrame, text_col: str = MERGED_TEXT) -> None:
         # One corpus scan: the frequency table is tiny (vocab-sized), so it
-        # is cached and both the global total and the weight map derive from
-        # it without re-reading the corpus (sif_weights_df's total-join form
-        # stays as the oracle-checkable relational variant).
+        # is cached and the weight map derives from it without re-reading
+        # the corpus (sif_weights_df's total-join form stays as the
+        # oracle-checkable relational variant). In the fits-cap case the
+        # whole preprocess is a single job (capped collect; total summed on
+        # the driver) — the persist only pays when the vocab overflows
+        # sif_max_vocab_broadcast and the ordered re-collect runs.
         freq = E.token_frequencies(corpus, text_col).persist()
         try:
             self.weights = E.collect_sif_weights_fast(
