@@ -1177,6 +1177,37 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join (brief's canonical "operator Spark lacks"): each purchase
+    # matched to the same user's most recent at-or-before click, left-outer.
+    # Union+window single-shuffle pattern — no join in the plan (pytest
+    # asserts this). Full value oracle via DuckDB's native ASOF LEFT JOIN;
+    # gap is exact integer microseconds, no float drift.
+    from deepblocker_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_event")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], carry=["c_event"], right_tie="c_event"
+    )
+    return out.select(
+        "user_id",
+        "p_event",
+        "c_event",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("_matched_ts").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
 def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training-data decontamination (GPT-3 appendix-C style): train docs
     # sharing >=1 3-token shingle with the held-out eval split (doc_id
@@ -1363,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_eval": q_cluster_eval,
         "group_linkage": q_group_linkage,
         "dedup_survivors": q_dedup_survivors,
+        "asof_click_purchase": q_asof_click_purchase,
         "decontam_overlap": q_decontam_overlap,
         "fs_patterns": q_fs_patterns,
         "fs_scores_fixed": q_fs_scores_fixed,
@@ -2280,6 +2312,13 @@ select min(doc_id) as doc_id,
 from (select doc_id, lang, source, sha256(substr(text, 1, 24)) as k
       from documents)
 group by k
+""",
+        "asof_click_purchase": """
+select p.user_id, p.event_id as p_event, c.event_id as c_event,
+       (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT as gap_us
+from (select * from events where event_type = 'purchase') p
+asof left join (select * from events where event_type = 'click') c
+  on p.user_id = c.user_id and p.ts >= c.ts
 """,
         "decontam_overlap": decontam_sql,
         "fs_patterns": fs_patterns_sql,

@@ -1,0 +1,105 @@
+"""as-of join semantics: inclusive nearest match, direction, tolerance,
+tie determinism, left-outer NULLs, multi-key isolation."""
+
+from datetime import datetime
+
+import pytest
+
+from deepblocker_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 100.0),
+            (1, _ts("2024-01-01T10:00:05"), 101.0),
+            (1, _ts("2024-01-01T10:00:10"), 102.0),
+            (2, _ts("2024-01-01T10:00:03"), 50.0),
+        ],
+        ["uid", "ts", "px"],
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:59:59"), "early"),   # before any quote
+            (1, _ts("2024-01-01T10:00:05"), "exact"),   # == quote ts (inclusive)
+            (1, _ts("2024-01-01T10:00:07"), "mid"),
+            (1, _ts("2024-01-01T10:01:00"), "late"),
+            (2, _ts("2024-01-01T10:00:04"), "other"),   # must not see uid=1 quotes
+        ],
+        ["uid", "ts", "tag"],
+    )
+    return quotes, trades
+
+
+def test_asof_backward_inclusive(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on=["uid"], carry=["px"])
+    got = {r.tag: r.px for r in out.collect()}
+    assert got == {
+        "early": None,      # no quote at-or-before -> left-outer NULL
+        "exact": 101.0,     # equal ts matches (inclusive)
+        "mid": 101.0,
+        "late": 102.0,
+        "other": 50.0,      # key isolation
+    }
+    assert out.count() == trades.count()  # left-preserving
+
+
+def test_asof_forward(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on=["uid"], carry=["px"], direction="forward")
+    got = {r.tag: r.px for r in out.collect()}
+    assert got == {
+        "early": 100.0,
+        "exact": 101.0,     # inclusive both directions
+        "mid": 102.0,
+        "late": None,       # nothing after
+        "other": None,      # uid 2's only quote is BEFORE its trade
+    }
+
+
+def test_asof_tolerance_discards_not_substitutes(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on=["uid"], carry=["px"], tolerance_us=3_000_000)
+    got = {r.tag: r.px for r in out.collect()}
+    # "late" is 50s past the nearest quote: dropped, NOT replaced by a
+    # farther-but-different row; "mid" is 2s away: kept.
+    assert got["late"] is None and got["mid"] == 101.0
+
+
+def test_asof_tie_greatest_wins(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:01"), "t")], ["uid", "ts", "tag"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 7, "a"),
+            (1, _ts("2024-01-01T10:00:00"), 9, "b"),  # greatest tie wins
+            (1, _ts("2024-01-01T10:00:00"), 8, "c"),
+        ],
+        ["uid", "ts", "pri", "val"],
+    )
+    out = asof_join(
+        left, right, on=["uid"], carry=["val", "pri"], right_tie="pri"
+    ).collect()
+    assert (out[0].val, out[0].pri) == ("b", 9)
+
+
+def test_asof_matched_ts_and_all_left_cols(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(trades, quotes, on=["uid"], carry=["px"])
+    assert out.columns == ["uid", "ts", "tag", "px", "_matched_ts"]
+    row = {r.tag: r for r in out.collect()}["late"]
+    assert row._matched_ts == _ts("2024-01-01T10:00:10")
+
+
+def test_asof_plan_is_one_window_no_join(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    plan = asof_join(trades, quotes, on=["uid"], carry=["px"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union+window, never a join
+    assert plan.count("Window") >= 1
