@@ -1177,6 +1177,23 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canopy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canopy blocking (McCallum 2000) with deterministic md5-sampled
+    # centers and shingle-Jaccard as the cheap metric; loose t1=0.2 joins
+    # a canopy, tight t2=0.5 tags core members, uncovered rows become
+    # singleton canopies. Full value oracle: DuckDB recomputes centers,
+    # the inverted-index join, both thresholds, and the coverage union.
+    from deepblocker_spark.operators.canopy import canopy_blocking
+
+    docs = _t(spark, sf_dir, "documents")
+    out = canopy_blocking(
+        docs, "doc_id", "text", center_rate=0.05, t1=0.2, t2=0.5, n=3
+    )
+    return out.select(
+        "center", "doc_id", F.round("jaccard", 9).alias("jaccard"), "tier"
+    )
+
+
 def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of join (brief's canonical "operator Spark lacks"): each purchase
     # matched to the same user's most recent at-or-before click, left-outer.
@@ -1395,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_linkage": q_group_linkage,
         "dedup_survivors": q_dedup_survivors,
         "asof_click_purchase": q_asof_click_purchase,
+        "canopy_blocking": q_canopy_blocking,
         "decontam_overlap": q_decontam_overlap,
         "fs_patterns": q_fs_patterns,
         "fs_scores_fixed": q_fs_scores_fixed,
@@ -1669,6 +1687,41 @@ select a, b, round(jac, 9) as jaccard from j where jac >= 0.1
     # prefix_jaccard's oracle: the SAME exhaustive inverted-index join at
     # threshold 0.6 — prefix filtering must change nothing.
     prefix_jaccard_sql = ngram_sql.replace("jac >= 0.1", "jac >= 0.6")
+
+    # canopy: deterministic md5-sampled centers (rate 0.05 -> 6-hex cutoff
+    # '0ccccd', rate_to_cutoff parity), shingle-Jaccard >= t1=0.2 joins,
+    # >= t2=0.5 tags core, uncovered docs become singleton canopies.
+    canopy_sql = f"""
+with t as (
+  select doc_id as id, {_TOKS} as toks from documents
+), s as (
+  select id,
+         case when len(toks) >= 3
+              then list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+              else [] end as sh
+  from t
+), nz as (select id, sh, len(sh) as n_sh from s where len(sh) > 0),
+inv as (select id, unnest(sh) as shingle from nz),
+cinv as (select id as center, shingle from inv
+         where substr(md5(id::VARCHAR), 1, 6) < '0ccccd'),
+pi as (
+  select c.center, i.id, count(*) as inter
+  from cinv c join inv i using (shingle)
+  group by 1, 2
+), j as (
+  select pi.center, pi.id, inter::DOUBLE / (sc.n_sh + sd.n_sh - inter) as jac
+  from pi join nz sc on pi.center = sc.id join nz sd on pi.id = sd.id
+), a as (
+  select center, id, jac,
+         case when jac >= 0.5 then 'core' else 'loose' end as tier
+  from j where jac >= 0.2
+)
+select center, id as doc_id, round(jac, 9) as jaccard, tier from a
+union all
+select d.doc_id as center, d.doc_id, 1.0::DOUBLE as jaccard, 'core' as tier
+from documents d where d.doc_id not in (select id from a)
+"""
 
     # prefix_cosine's oracle: same exhaustive join, set-cosine formula —
     # the t² prefix/length pruning must change nothing.
@@ -2313,6 +2366,7 @@ from (select doc_id, lang, source, sha256(substr(text, 1, 24)) as k
       from documents)
 group by k
 """,
+        "canopy_blocking": canopy_sql,
         "asof_click_purchase": """
 select p.user_id, p.event_id as p_event, c.event_id as c_event,
        (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT as gap_us
