@@ -1177,6 +1177,56 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FILTERED ANN: per-label LSH top-k (partition_by folds the label into
+    # the bucket key — the metadata-pre-filter semantics of a vector
+    # store, one job). Derived-property oracle in the lsh_topk_emb mold:
+    # recall over the within-label near-dup regime (exact per-label top-5
+    # with sim >= 0.4, recomputed independently by DuckDB) must be >=
+    # 0.95, the regime size must match, and — the filtered-ANN contract —
+    # the cross-label pair count must be exactly 0.
+    from pyspark.sql import Window
+
+    from deepblocker_spark.operators.scoring import cosine_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = lsh_topk(
+        emb, k=5, id_col="vec_id", emb_col="embedding", dim=64,
+        n_bands=24, band_bits=4, partition_by="label",
+    )
+    lab = emb.select(F.col("vec_id").alias("l_id"), F.col("label").alias("_la"))
+    rab = emb.select(F.col("vec_id").alias("r_id"), F.col("label").alias("_lb"))
+    crossers = (
+        approx.join(lab, "l_id").join(rab, "r_id")
+        .filter(F.col("_la") != F.col("_lb"))
+        .count()
+    )
+    a = emb.select("label", F.col("vec_id").alias("l_id"), _emb_double(F.col("embedding")).alias("_ea"))
+    b = emb.select("label", F.col("vec_id").alias("r_id"), _emb_double(F.col("embedding")).alias("_eb"))
+    exact = (
+        a.join(b, "label")
+        .filter(F.col("l_id") != F.col("r_id"))
+        .select("l_id", "r_id", cosine_col(F.col("_ea"), F.col("_eb")).alias("sim"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("l_id").orderBy(F.desc("sim"), F.asc("r_id"))
+            ),
+        )
+    )
+    hi = exact.filter((F.col("rank") <= 5) & (F.col("sim") >= 0.4))
+    hits = hi.join(approx.select("l_id", "r_id"), ["l_id", "r_id"], "left_semi")
+    return (
+        hits.agg(F.count("*").alias("_hits"))
+        .crossJoin(hi.agg(F.count("*").alias("_n")))
+        .select(
+            (F.col("_hits") >= F.col("_n") * 0.95).cast("bigint").alias("recall_ok"),
+            F.col("_n").cast("bigint").alias("n_highsim_pairs"),
+            F.lit(crossers).cast("bigint").alias("cross_label_pairs"),
+        )
+    )
+
+
 def q_canopy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canopy blocking (McCallum 2000) with deterministic md5-sampled
     # centers and shingle-Jaccard as the cheap metric; loose t1=0.2 joins
@@ -1413,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "asof_click_purchase": q_asof_click_purchase,
         "canopy_blocking": q_canopy_blocking,
+        "lsh_topk_filtered": q_lsh_topk_filtered,
         "decontam_overlap": q_decontam_overlap,
         "fs_patterns": q_fs_patterns,
         "fs_scores_fixed": q_fs_scores_fixed,
@@ -2367,6 +2418,25 @@ from (select doc_id, lang, source, sha256(substr(text, 1, 24)) as k
 group by k
 """,
         "canopy_blocking": canopy_sql,
+        # lsh_topk_filtered: derived-property oracle (hyperplanes are a
+        # seeded PCG64 stream) — DuckDB independently recomputes the
+        # WITHIN-LABEL near-dup regime; cross-label pairs must be zero by
+        # construction of the filtered index.
+        "lsh_topk_filtered": """
+with sims as (
+  select a.vec_id as l_id, b.vec_id as r_id,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) as s
+  from embeddings a join embeddings b on a.label = b.label
+  where a.vec_id <> b.vec_id
+), ranked as (
+  select l_id, r_id, s,
+         row_number() over (partition by l_id order by s desc, r_id asc) as rank
+  from sims
+)
+select 1::BIGINT as recall_ok, count(*)::BIGINT as n_highsim_pairs,
+       0::BIGINT as cross_label_pairs
+from ranked where rank <= 5 and s >= 0.4
+""",
         "asof_click_purchase": """
 select p.user_id, p.event_id as p_event, c.event_id as c_event,
        (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT as gap_us

@@ -43,9 +43,11 @@ def lsh_topk(
     n_bands: int = 8,
     band_bits: int = 8,
     seed: int = 1234,
+    partition_by: str | None = None,
 ) -> DataFrame:
     return lsh_candidates(
-        df, id_col, emb_col, dim, k, n_bands, band_bits, seed
+        df, id_col, emb_col, dim, k, n_bands, band_bits, seed,
+        partition_by=partition_by,
     )
 
 

@@ -225,12 +225,13 @@ def release_signature_caches() -> None:
 
 
 def _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed,
-                    emb_binary: bool = False, emb_dtype: str = "f32") -> DataFrame:
+                    emb_binary: bool = False, emb_dtype: str = "f32",
+                    extra_cols: list[str] | None = None) -> DataFrame:
     from pyspark import StorageLevel
 
     sigs = signature_buckets(
         df, id_col, emb_col, dim, n_bands, band_bits, seed, include_emb=True,
-        emb_binary=emb_binary, emb_dtype=emb_dtype,
+        emb_binary=emb_binary, emb_dtype=emb_dtype, extra_cols=extra_cols,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _SIG_CACHES.append(sigs)
     return sigs
@@ -268,9 +269,22 @@ def lsh_candidates(
     emb_dtype: str = "f32",
     gather: str = "auto",
     gather_max_bytes: int = 64 << 20,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Self-join candidate generation: -> (l_id, r_id, sim, rank), rank<=k
     per l_id, l_id != r_id, deterministic (sim desc, r_id asc) tie-break.
+
+    ``partition_by``: FILTERED ANN — pairs only form between rows sharing
+    this column's value (e.g. same language, same tenant, same shard).
+    Implemented by folding the partition value into the bucket key
+    (``bucket' = xxhash64(part, bucket)``) right after the signature
+    pass, so salting, broadcast-gather, the kernel, and the merge all
+    scope to the partition with ZERO extra stages — the semantics of
+    running one LSH index per partition (same hyperplanes), at the cost
+    of the global one. The exact analogue of a vector store's metadata
+    pre-filter, and the scale path for "match only within X" constraints
+    that would otherwise need a post-filter (which silently under-fills
+    top-k) or a per-partition driver loop.
 
     Buckets larger than ``max_bucket_rows`` are deterministically salt-split
     so no task's cross-product exceeds max_bucket_rows^2; use
@@ -324,7 +338,13 @@ def lsh_candidates(
     # embedding rides the signature frame, so there is NO join back to the
     # source table — the only big shuffle is groupBy(band, bucket, salt).
     sigs = _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed,
-                           emb_binary=True, emb_dtype=emb_dtype)
+                           emb_binary=True, emb_dtype=emb_dtype,
+                           extra_cols=[partition_by] if partition_by else None)
+    if partition_by is not None:
+        # scope every bucket to its partition value; downstream is unchanged
+        sigs = sigs.withColumn(
+            "bucket", F.xxhash64(F.col(partition_by), F.col("bucket"))
+        ).drop(partition_by)
     over_rows = _oversized_buckets(
         sigs, max_bucket_rows, ["band", "bucket", "_splits"]
     )
