@@ -383,6 +383,59 @@ def main() -> None:
     )
     qs["fs_scores_fixed"] = m.queries()["fs_scores_fixed"]
 
+    # As-of join (round 4): union+window — the plan must contain NO join of
+    # any kind (the naive formulation is a per-key range join that Catalyst
+    # can only run as a nested loop), exactly one window over one exchange,
+    # and both event_type filters pushed into the parquet scans.
+    audits["asof_click_purchase"] = (
+        ["!Join", "Union", "Window",
+         "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]",
+         "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"],
+        "as-of = union of two pushed-filter scans + ONE key-partitioned "
+        "window — join-free, one shuffle, no pair explosion",
+    )
+    qs["asof_click_purchase"] = m.queries()["asof_click_purchase"]
+
+    # Canopy blocking (round 4): the assignment frame is persisted
+    # (InMemoryRelation) so the coverage anti-join does NOT re-execute the
+    # inverted-index join; shingling is JVM expressions (no Python nodes);
+    # the md5 center filter prunes the index side BEFORE the shingle join;
+    # no cartesian; scan pruned to (doc_id, text).
+    audits["canopy_blocking"] = (
+        ["InMemoryRelation", "!CartesianProduct", "!ArrowEvalPython",
+         "!BatchEvalPython", "!MapInPandas", "md5",
+         "ReadSchema: struct<doc_id:bigint,text:string>"],
+        "assignment persisted — coverage anti-join reads the cache instead "
+        "of recomputing the pair join; center side md5-filtered before the "
+        "shingle equi-join; all-JVM expressions; scan pruned to (doc_id, "
+        "text)",
+    )
+    qs["canopy_blocking"] = m.queries()["canopy_blocking"]
+
+    # Filtered (partitioned) LSH ANN (round 4): same invariants as the
+    # global lsh_candidates — single signature pass, no join on the healthy
+    # path, exactly the two required exchanges — plus the partition fold-in
+    # (xxhash64 of the label into the bucket) visible as a plain Project,
+    # and the label read in the same single scan.
+    from pyspark.sql import functions as F
+
+    lsh_part_df = lsh_candidates(
+        emb_tbl.withColumn("_part", F.col("vec_id") % 4),
+        id_col="vec_id", emb_col="embedding", dim=64, k=5,
+        n_bands=8, band_bits=8, seed=3, partition_by="_part",
+    )
+    audits["lsh_partitioned"] = (
+        ["!SortMergeJoin", "!BroadcastHashJoin", "!Sort (",
+         "InMemoryRelation", "1:InMemoryFileIndex", "xxhash64",
+         "hashpartitioning(band", "hashpartitioning(l_id",
+         "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
+        "partition_by adds ZERO stages to the LSH plan: the label folds "
+        "into the bucket via one codegen xxhash64 Project on top of the "
+        "persisted signature frame; still one source scan, no joins, the "
+        "same two exchanges (bucket key, then l_id)",
+    )
+    qs["lsh_partitioned"] = lambda *_: lsh_part_df
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
