@@ -1227,6 +1227,41 @@ def q_lsh_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range/interval join (brief's other named "operator Spark lacks"):
+    # purchases landing inside a [error_ts, error_ts + 6h] window of the
+    # same user — binned equi-join + codegen containment filter, never a
+    # BroadcastNestedLoop. Full value oracle: DuckDB runs the plain
+    # inequality join; lag is exact integer microseconds.
+    from deepblocker_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("e_event"),
+        F.col("ts").alias("lo_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi_ts"),
+    )
+    out = interval_join(
+        purchases, errors, "ts", "lo_ts", "hi_ts", on=["user_id"],
+        bin_width_us=21_600_000_000,
+    )
+    return out.select(
+        "user_id",
+        "e_event",
+        "p_event",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("lo_ts").cast("timestamp"))
+        )
+        .cast("bigint")
+        .alias("lag_us"),
+    )
+
+
 def q_canopy_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canopy blocking (McCallum 2000) with deterministic md5-sampled
     # centers and shingle-Jaccard as the cheap metric; loose t1=0.2 joins
@@ -1464,6 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_purchase": q_asof_click_purchase,
         "canopy_blocking": q_canopy_blocking,
         "lsh_topk_filtered": q_lsh_topk_filtered,
+        "interval_join_events": q_interval_join_events,
         "decontam_overlap": q_decontam_overlap,
         "fs_patterns": q_fs_patterns,
         "fs_scores_fixed": q_fs_scores_fixed,
@@ -2436,6 +2472,14 @@ with sims as (
 select 1::BIGINT as recall_ok, count(*)::BIGINT as n_highsim_pairs,
        0::BIGINT as cross_label_pairs
 from ranked where rank <= 5 and s >= 0.4
+""",
+        "interval_join_events": """
+select p.user_id, e.event_id as e_event, p.event_id as p_event,
+       (epoch_us(p.ts) - epoch_us(e.ts))::BIGINT as lag_us
+from (select * from events where event_type = 'purchase') p
+join (select * from events where event_type = 'error') e
+  on p.user_id = e.user_id
+ and p.ts >= e.ts and p.ts <= e.ts + interval 6 hours
 """,
         "asof_click_purchase": """
 select p.user_id, p.event_id as p_event, c.event_id as c_event,

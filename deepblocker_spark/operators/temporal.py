@@ -29,6 +29,91 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_us(c: Column, numeric: bool) -> Column:
+    """Microsecond epoch for binning/filtering: numeric columns pass
+    through as long; timestamp flavors go through unix_micros (NTZ-safe
+    via the cast — the session-timezone shift is the same constant on
+    both sides of every comparison, so containment is unaffected)."""
+    return c.cast("long") if numeric else F.unix_micros(c.cast("timestamp"))
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    lo_col: str,
+    hi_col: str,
+    on: Sequence[str] = (),
+    bin_width_us: int = 3_600_000_000,
+    max_bins_per_interval: int = 10_000,
+) -> DataFrame:
+    """Range/interval join: inner-join each point row to every interval
+    row whose closed range [lo_col, hi_col] contains ``point_ts`` (and
+    whose ``on`` keys match, if given). Output: all point columns, then
+    all interval columns (caller pre-aliases collisions).
+
+    Why not ``points.join(intervals, lo <= t & t <= hi)``: Catalyst
+    executes a pure inequality join as BroadcastNestedLoop — O(P×I) work
+    regardless of selectivity, a scale-killer the moment neither side
+    broadcasts. Here both sides map to width-``bin_width_us`` bins
+    (points to one bin each; intervals exploded over every bin they
+    overlap), meet in an ordinary hash equi-join on (keys…, bin), and a
+    codegen containment filter removes the bin-boundary false positives.
+    Work is proportional to actual bin co-occurrence — the same
+    inverted-index shape as the shingle joins, and the batch analogue of
+    Flink's interval join. Each matching pair emerges exactly once (a
+    point has one bin; an interval covers it once), so no dedup pass.
+
+    ``bin_width_us`` trades explode factor against join selectivity —
+    set it near the typical interval length. An interval spanning more
+    than ``max_bins_per_interval`` bins raises (no silent truncation):
+    widen the bins or split the interval.
+
+    Timestamps may be TIMESTAMP/NTZ or plain numeric epochs; numeric
+    inputs are binned as-is (``bin_width_us`` then shares their unit).
+    """
+    on = list(on)
+    numeric_p = points.schema[point_ts].dataType.typeName() in (
+        "long", "integer", "double", "float", "decimal", "short",
+    )
+    numeric_i = intervals.schema[lo_col].dataType.typeName() in (
+        "long", "integer", "double", "float", "decimal", "short",
+    )
+    w = int(bin_width_us)
+
+    p_us = _epoch_us(F.col(point_ts), numeric_p)
+    pts = points.withColumn("_bin", F.floor(p_us / w))
+
+    lo_us = _epoch_us(F.col(lo_col), numeric_i)
+    hi_us = _epoch_us(F.col(hi_col), numeric_i)
+    lo_bin, hi_bin = F.floor(lo_us / w), F.floor(hi_us / w)
+    guard = F.when(
+        hi_bin - lo_bin >= max_bins_per_interval,
+        F.raise_error(
+            F.concat(
+                F.lit("interval_join: interval spans >= "),
+                F.lit(str(max_bins_per_interval)),
+                F.lit(" bins (lo="), F.col(lo_col).cast("string"),
+                F.lit(", hi="), F.col(hi_col).cast("string"),
+                F.lit(") — widen bin_width_us or split the interval"),
+            )
+        ).cast("long"),
+    ).otherwise(hi_bin)
+    ivs = intervals.filter(hi_us >= lo_us).withColumn(
+        "_bin", F.explode(F.sequence(lo_bin, guard))
+    )
+
+    cond = [pts["_bin"] == ivs["_bin"]]
+    cond += [pts[k] == ivs[k] for k in on]
+    joined = pts.join(ivs, cond).filter(
+        (_epoch_us(pts[point_ts], numeric_p) >= _epoch_us(ivs[lo_col], numeric_i))
+        & (_epoch_us(pts[point_ts], numeric_p) <= _epoch_us(ivs[hi_col], numeric_i))
+    )
+    keep = [pts[c] for c in points.columns]
+    keep += [ivs[c] for c in intervals.columns if c not in on]
+    return joined.select(*keep)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -103,3 +103,85 @@ def test_asof_plan_is_one_window_no_join(spark, quotes_trades):
     plan = asof_join(trades, quotes, on=["uid"], carry=["px"])._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # union+window, never a join
     assert plan.count("Window") >= 1
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+def test_interval_join_containment_and_bin_boundaries(spark):
+    from deepblocker_spark.operators.temporal import interval_join
+
+    # numeric mode, bin width 10: points/intervals straddling bin edges
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 19), (4, 20), (5, 25), (6, 9)],
+        ["pid", "t"],
+    )
+    ivs = spark.createDataFrame(
+        [(100, 10, 20),   # closed [10,20]: catches 10, 19, 20 — not 9, 25
+         (200, 24, 26),
+         (300, 30, 29)],  # inverted: dropped
+        ["iid", "lo", "hi"],
+    )
+    out = interval_join(pts, ivs, "t", "lo", "hi", bin_width_us=10)
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    assert got == [(2, 100), (3, 100), (4, 100), (5, 200)]
+
+
+def test_interval_join_keys_isolate(spark):
+    from deepblocker_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame([("a", 1, 15), ("b", 2, 15)], ["k", "pid", "t"])
+    ivs = spark.createDataFrame([("a", 9, 10, 20)], ["k", "iid", "lo", "hi"])
+    out = interval_join(pts, ivs, "t", "lo", "hi", on=["k"], bin_width_us=100)
+    assert [(r.k, r.pid, r.iid) for r in out.collect()] == [("a", 1, 9)]
+
+
+def test_interval_join_each_pair_once(spark):
+    from deepblocker_spark.operators.temporal import interval_join
+
+    # interval spans many bins; the contained point must appear exactly once
+    pts = spark.createDataFrame([(1, 55)], ["pid", "t"])
+    ivs = spark.createDataFrame([(9, 0, 100)], ["iid", "lo", "hi"])
+    out = interval_join(pts, ivs, "t", "lo", "hi", bin_width_us=10)
+    assert out.count() == 1
+
+
+def test_interval_join_oversized_interval_raises(spark):
+    import pytest as _pytest
+
+    from deepblocker_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, 5)], ["pid", "t"])
+    ivs = spark.createDataFrame([(9, 0, 10_000)], ["iid", "lo", "hi"])
+    out = interval_join(
+        pts, ivs, "t", "lo", "hi", bin_width_us=10, max_bins_per_interval=100
+    )
+    with _pytest.raises(Exception, match="widen bin_width_us"):
+        out.collect()
+
+
+def test_interval_join_timestamps(spark):
+    from deepblocker_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:30:00"))], ["pid", "t"]
+    )
+    ivs = spark.createDataFrame(
+        [(7, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00")),
+         (8, _ts("2024-01-01T11:00:01"), _ts("2024-01-01T12:00:00"))],
+        ["iid", "lo", "hi"],
+    )
+    out = interval_join(pts, ivs, "t", "lo", "hi")
+    assert [r.iid for r in out.collect()] == [7]
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    from deepblocker_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame([(1, 5)], ["pid", "t"])
+    ivs = spark.createDataFrame([(9, 0, 10)], ["iid", "lo", "hi"])
+    plan = interval_join(
+        pts, ivs, "t", "lo", "hi", bin_width_us=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan

@@ -436,6 +436,19 @@ def main() -> None:
     )
     qs["lsh_partitioned"] = lambda *_: lsh_part_df
 
+    # Interval/range join (round 4): the range predicate must NOT execute
+    # as a nested loop — bins meet in a hash equi-join (explode = Generate)
+    # with the containment filter as codegen; both event_type filters
+    # pushed into the scans.
+    audits["interval_join_events"] = (
+        ["!BroadcastNestedLoopJoin", "!CartesianProduct", "Generate",
+         "EqualTo(event_type,purchase)", "EqualTo(event_type,error)"],
+        "range join via bin explode + hash equi-join on (user, bin) + "
+        "codegen containment filter — never a BroadcastNestedLoop; "
+        "event_type filters pushed to both scans",
+    )
+    qs["interval_join_events"] = m.queries()["interval_join_events"]
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
