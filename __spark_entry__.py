@@ -1227,6 +1227,53 @@ def q_lsh_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sketch-accuracy audit: HLL++ approx-distinct (the 100 TB cardinality
+    # path — constant memory per group, mergeable, one pass) checked
+    # against the exact distinct in the same aggregation. Derived-property
+    # oracle: DuckDB recomputes the exact counts; the approx_ok flag (HLL
+    # within 5% at rsd=0.02) must be 1 for every group. At true scale the
+    # exact column is what you DROP; the flag is the evidence you can.
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("_apx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("_apx") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.05)
+        ).cast("bigint").alias("approx_ok"),
+    )
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE over (orderstatus, orderpriority): all four grouping-set levels
+    # in ONE pass (Catalyst expands the sets map-side; no re-scan per
+    # level). grouping() flags disambiguate NULL-as-total from NULL data.
+    # Full value oracle via DuckDB's CUBE + GROUPING.
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "g_status",
+            "g_prio",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
 def q_interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range/interval join (brief's other named "operator Spark lacks"):
     # purchases landing inside a [error_ts, error_ts + 6h] window of the
@@ -1500,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canopy_blocking": q_canopy_blocking,
         "lsh_topk_filtered": q_lsh_topk_filtered,
         "interval_join_events": q_interval_join_events,
+        "sketch_distinct": q_sketch_distinct,
+        "orders_cube": q_orders_cube,
         "decontam_overlap": q_decontam_overlap,
         "fs_patterns": q_fs_patterns,
         "fs_scores_fixed": q_fs_scores_fixed,
@@ -2472,6 +2521,22 @@ with sims as (
 select 1::BIGINT as recall_ok, count(*)::BIGINT as n_highsim_pairs,
        0::BIGINT as cross_label_pairs
 from ranked where rank <= 5 and s >= 0.4
+""",
+        # sketch_distinct: derived-property oracle — DuckDB recomputes the
+        # exact distincts; the HLL-within-5% flag must hold per group.
+        "sketch_distinct": """
+select event_type, count(distinct user_id)::BIGINT as n_exact,
+       1::BIGINT as approx_ok
+from events group by event_type
+""",
+        "orders_cube": """
+select o_orderstatus, o_orderpriority,
+       grouping(o_orderstatus)::BIGINT as g_status,
+       grouping(o_orderpriority)::BIGINT as g_prio,
+       count(*)::BIGINT as n_orders,
+       round(sum(o_totalprice), 2) as total_price
+from orders
+group by cube (o_orderstatus, o_orderpriority)
 """,
         "interval_join_events": """
 select p.user_id, e.event_id as e_event, p.event_id as p_event,
