@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     # non-degenerate on this data, unlike the token-vocab-bound
     # minhash/meta-blocking pair queries excluded above
     "sorted_neighborhood",
+    # temporal joins over the 100k-row events table (timestamps, immune to
+    # the vocab pathology): as-of = union + ONE window exchange; interval =
+    # bin explode + hash equi-join. canopy_blocking stays correctness-only
+    # (it shares the shingle-vocab degeneracy documented above).
+    "asof_click_purchase",
+    "interval_join_events",
 ]
 
 # Queries whose per-stage shuffle bytes are recorded in full (the scale-path
@@ -957,14 +963,14 @@ def main():
     # (VERDICT r3 #1 — round 3's detail arrays blew the one-line budget).
     bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH.json")
-    if "scaling" not in out:
-        # A skip-scaling run must not clobber the artifact's scaling
+    if "scaling" not in out or "lsh_dyadic" not in out:
+        # A skip run must not clobber the artifact's scaling or dyadic
         # evidence: carry the previous recording forward, marked.
         try:
             with open(bench_path) as f:
                 prev = json.load(f)
-            for key in ("scaling", "scaling_exact"):
-                if key in prev:
+            for key in ("scaling", "scaling_exact", "lsh_dyadic"):
+                if key not in out and key in prev:
                     out[key] = dict(prev[key], carried_from_previous_run=True)
         except Exception:
             pass
