@@ -1227,6 +1227,18 @@ def q_lsh_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # numeric ε-distance self-join (numeric-attribute blocking): order
+    # pairs within $10 total price, via the binned interval join — no
+    # nested loop (plan-audited through interval_join). Full value oracle:
+    # DuckDB runs the plain |a-b| <= eps inequality self-join.
+    from deepblocker_spark.operators.temporal import numeric_distance_pairs
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = numeric_distance_pairs(o, "o_orderkey", "o_totalprice", eps=10.0)
+    return out.select("a", "b", F.round("diff", 9).alias("diff"))
+
+
 def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sketch-accuracy audit: HLL++ approx-distinct (the 100 TB cardinality
     # path — constant memory per group, mergeable, one pass) checked
@@ -1548,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_filtered": q_lsh_topk_filtered,
         "interval_join_events": q_interval_join_events,
         "sketch_distinct": q_sketch_distinct,
+        "price_distance_pairs": q_price_distance_pairs,
         "orders_cube": q_orders_cube,
         "decontam_overlap": q_decontam_overlap,
         "fs_patterns": q_fs_patterns,
@@ -2521,6 +2534,13 @@ with sims as (
 select 1::BIGINT as recall_ok, count(*)::BIGINT as n_highsim_pairs,
        0::BIGINT as cross_label_pairs
 from ranked where rank <= 5 and s >= 0.4
+""",
+        "price_distance_pairs": """
+select a.o_orderkey as a, b.o_orderkey as b,
+       round(abs(a.o_totalprice - b.o_totalprice), 9) as diff
+from orders a join orders b
+  on a.o_orderkey < b.o_orderkey
+ and abs(a.o_totalprice - b.o_totalprice) <= 10.0
 """,
         # sketch_distinct: derived-property oracle — DuckDB recomputes the
         # exact distincts; the HLL-within-5% flag must hold per group.

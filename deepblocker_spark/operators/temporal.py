@@ -29,12 +29,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _epoch_us(c: Column, numeric: bool) -> Column:
-    """Microsecond epoch for binning/filtering: numeric columns pass
-    through as long; timestamp flavors go through unix_micros (NTZ-safe
-    via the cast — the session-timezone shift is the same constant on
-    both sides of every comparison, so containment is unaffected)."""
-    return c.cast("long") if numeric else F.unix_micros(c.cast("timestamp"))
+def _bin_val(c: Column, numeric: bool) -> Column:
+    """Binning coordinate: numeric columns bin on their RAW value (no
+    long-cast — fractional values must not truncate); timestamp flavors
+    bin on microsecond epoch (NTZ-safe via the cast — the session-
+    timezone shift is the same constant on every row, so bin
+    co-membership is unaffected). Containment itself is always checked
+    on the raw columns, never on this mapping."""
+    return c if numeric else F.unix_micros(c.cast("timestamp"))
 
 
 def interval_join(
@@ -44,7 +46,7 @@ def interval_join(
     lo_col: str,
     hi_col: str,
     on: Sequence[str] = (),
-    bin_width_us: int = 3_600_000_000,
+    bin_width_us: int | float = 3_600_000_000,
     max_bins_per_interval: int = 10_000,
 ) -> DataFrame:
     """Range/interval join: inner-join each point row to every interval
@@ -79,13 +81,15 @@ def interval_join(
     numeric_i = intervals.schema[lo_col].dataType.typeName() in (
         "long", "integer", "double", "float", "decimal", "short",
     )
-    w = int(bin_width_us)
+    if not bin_width_us > 0:
+        raise ValueError(f"bin_width_us must be > 0, got {bin_width_us}")
+    w = bin_width_us  # numeric inputs may use fractional widths
 
-    p_us = _epoch_us(F.col(point_ts), numeric_p)
+    p_us = _bin_val(F.col(point_ts), numeric_p)
     pts = points.withColumn("_bin", F.floor(p_us / w))
 
-    lo_us = _epoch_us(F.col(lo_col), numeric_i)
-    hi_us = _epoch_us(F.col(hi_col), numeric_i)
+    lo_us = _bin_val(F.col(lo_col), numeric_i)
+    hi_us = _bin_val(F.col(hi_col), numeric_i)
     lo_bin, hi_bin = F.floor(lo_us / w), F.floor(hi_us / w)
     guard = F.when(
         hi_bin - lo_bin >= max_bins_per_interval,
@@ -105,13 +109,50 @@ def interval_join(
 
     cond = [pts["_bin"] == ivs["_bin"]]
     cond += [pts[k] == ivs[k] for k in on]
+    # containment on the RAW columns (numerics and timestamps both compare
+    # natively) — the bin mapping is only a meeting coordinate
     joined = pts.join(ivs, cond).filter(
-        (_epoch_us(pts[point_ts], numeric_p) >= _epoch_us(ivs[lo_col], numeric_i))
-        & (_epoch_us(pts[point_ts], numeric_p) <= _epoch_us(ivs[hi_col], numeric_i))
+        (pts[point_ts] >= ivs[lo_col]) & (pts[point_ts] <= ivs[hi_col])
     )
     keep = [pts[c] for c in points.columns]
     keep += [ivs[c] for c in intervals.columns if c not in on]
     return joined.select(*keep)
+
+
+def numeric_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    eps: float,
+    bin_width: float | None = None,
+) -> DataFrame:
+    """Numeric ε-distance self-join: -> (a, b, a_value, b_value, diff) for
+    every pair with |value_a − value_b| <= eps and a < b — the numeric-
+    attribute blocking primitive (price bands, coordinates, lengths)
+    expressed through :func:`interval_join`: each row is both a point and
+    a [v−eps, v+eps] interval; the symmetric condition finds every pair
+    in both directions, so a < b keeps each exactly once. Inherits the
+    bin-equi-join plan — no nested loop, work ∝ bin co-occupancy. NULL
+    values drop (no NULL-matches-everything surprises). ``bin_width``
+    defaults to 2·eps (each interval spans ≤ 3 bins)."""
+    if not eps >= 0:
+        raise ValueError(f"eps must be >= 0, got {eps}")
+    w = bin_width if bin_width is not None else max(2.0 * eps, 1e-300)
+    pts = df.select(F.col(id_col).alias("a"), F.col(value_col).alias("a_value"))
+    ivs = df.select(
+        F.col(id_col).alias("b"),
+        F.col(value_col).alias("b_value"),
+        (F.col(value_col) - F.lit(eps)).alias("_lo"),
+        (F.col(value_col) + F.lit(eps)).alias("_hi"),
+    )
+    out = interval_join(pts, ivs, "a_value", "_lo", "_hi", bin_width_us=w)
+    return (
+        out.filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", "a_value", "b_value",
+            F.abs(F.col("a_value") - F.col("b_value")).alias("diff"),
+        )
+    )
 
 
 def asof_join(

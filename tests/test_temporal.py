@@ -185,3 +185,46 @@ def test_interval_join_plan_is_equi_join(spark):
         pts, ivs, "t", "lo", "hi", bin_width_us=10
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_join_fractional_values_exact(spark):
+    from deepblocker_spark.operators.temporal import interval_join
+
+    # doubles must NOT truncate: 10.5 is outside [10.6, 11.0] but a
+    # long-cast of all three would admit it (10 >= 10 and 10 <= 11)
+    pts = spark.createDataFrame([(1, 10.5), (2, 10.7)], ["pid", "t"])
+    ivs = spark.createDataFrame([(9, 10.6, 11.0)], ["iid", "lo", "hi"])
+    out = interval_join(pts, ivs, "t", "lo", "hi", bin_width_us=1)
+    assert [r.pid for r in out.collect()] == [2]
+
+
+def test_numeric_distance_pairs(spark):
+    from deepblocker_spark.operators.temporal import numeric_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 10.4), (3, 10.5), (4, 20.0), (5, None)],
+        "id long, v double",
+    )
+    out = numeric_distance_pairs(df, "id", "v", eps=0.5)
+    got = sorted((r.a, r.b, round(r.diff, 6)) for r in out.collect())
+    # closed ball: |10.0-10.5| == eps kept; each pair once; NULL drops
+    assert got == [(1, 2, 0.4), (1, 3, 0.5), (2, 3, 0.1)]
+
+
+def test_numeric_distance_pairs_matches_brute_force(spark):
+    import random
+
+    from deepblocker_spark.operators.temporal import numeric_distance_pairs
+
+    rng = random.Random(11)
+    rows = [(i, rng.uniform(0, 50)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    eps = 1.25
+    got = sorted((r.a, r.b) for r in numeric_distance_pairs(df, "id", "v", eps).collect())
+    want = sorted(
+        (a, b)
+        for i, (a, va) in enumerate(rows)
+        for b, vb in rows[i + 1:]
+        if abs(va - vb) <= eps
+    )
+    assert got == want
