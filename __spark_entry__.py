@@ -1177,6 +1177,18 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_canopy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # canopy's blocking OUTPUT: distinct within-canopy candidate pairs
+    # (a < b), same parameters as canopy_blocking. Full value oracle: the
+    # membership SQL self-joined on center.
+    from deepblocker_spark.operators.canopy import canopy_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return canopy_pairs(
+        docs, "doc_id", "text", center_rate=0.05, t1=0.2, t2=0.5, n=3
+    )
+
+
 def q_lsh_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FILTERED ANN: per-label LSH top-k (partition_by folds the label into
     # the bucket key — the metadata-pre-filter semantics of a vector
@@ -1558,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_click_purchase": q_asof_click_purchase,
         "canopy_blocking": q_canopy_blocking,
         "lsh_topk_filtered": q_lsh_topk_filtered,
+        "canopy_pairs": q_canopy_pairs,
         "interval_join_events": q_interval_join_events,
         "sketch_distinct": q_sketch_distinct,
         "price_distance_pairs": q_price_distance_pairs,
@@ -1870,6 +1883,13 @@ select center, id as doc_id, round(jac, 9) as jaccard, tier from a
 union all
 select d.doc_id as center, d.doc_id, 1.0::DOUBLE as jaccard, 'core' as tier
 from documents d where d.doc_id not in (select id from a)
+"""
+
+    # canopy_pairs: the membership SQL self-joined on center, distinct.
+    canopy_pairs_sql = f"""
+select distinct l.doc_id as a, r.doc_id as b
+from ({canopy_sql}) l join ({canopy_sql}) r
+  on l.center = r.center and l.doc_id < r.doc_id
 """
 
     # prefix_cosine's oracle: same exhaustive join, set-cosine formula —
@@ -2516,6 +2536,7 @@ from (select doc_id, lang, source, sha256(substr(text, 1, 24)) as k
 group by k
 """,
         "canopy_blocking": canopy_sql,
+        "canopy_pairs": canopy_pairs_sql,
         # lsh_topk_filtered: derived-property oracle (hyperplanes are a
         # seeded PCG64 stream) — DuckDB independently recomputes the
         # WITHIN-LABEL near-dup regime; cross-label pairs must be zero by

@@ -132,3 +132,32 @@ def canopy_blocking(
         )
     )
     return assigned.unionByName(uncovered).withColumnsRenamed({"id": id_col})
+
+
+def canopy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    center_rate: float = 0.1,
+    t1: float = 0.1,
+    t2: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """The blocking OUTPUT of canopy: -> (a, b), a < b — every distinct
+    within-canopy candidate pair, the set a downstream matcher scores.
+    One co-partitioned self-join on the canopy center plus a distinct
+    (pairs sharing several canopies emerge once); singleton canopies
+    contribute nothing (no self-pairs). Work ∝ Σ canopy_size², bounded by
+    t1 and center_rate — the quantity :func:`canopy_blocking`'s tiers let
+    you audit before paying for it."""
+    m = canopy_blocking(df, id_col, text_col, center_rate, t1, t2, n).select(
+        "center", F.col(id_col).alias("_m")
+    )
+    l = m.select("center", F.col("_m").alias("a"))
+    r = m.select("center", F.col("_m").alias("b"))
+    return (
+        l.join(r, "center")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )

@@ -91,6 +91,54 @@ def extract_media_features(
     return df.mapInPandas(run, schema)
 
 
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Image resize plan-shape: blob-in → blob-out with updated (width,
+    height) metadata, Arrow-batched, non-image rows passed through
+    untouched. The pixel work is behind the same decoder gate as
+    ``decode_media`` ('real' raises — Pillow is not in this environment);
+    the 'fake' backend emits a deterministic content-derived payload of
+    exactly width*height*3 bytes, so downstream stages see the correct
+    post-resize blob SIZE and schema. Plumbing this stage gets right at
+    100 TB: the transform is partition-preserving (no shuffle), and the
+    output payload — not the source — is what flows on."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "media codecs (Pillow/ffmpeg) are not available in this "
+            "environment; use decoder='fake' for the deterministic stub"
+        )
+    if decoder != "fake":
+        raise ValueError(f"unknown decoder {decoder!r}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target size must be positive, got {width}x{height}")
+    schema = df.schema
+    n_bytes = width * height * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pdf.copy()
+            is_img = (pdf["modality"] == "image").to_numpy()
+            blobs, ws, hs = list(pdf["data"]), list(pdf["width"]), list(pdf["height"])
+            for i in np.flatnonzero(is_img):
+                seed = int.from_bytes(
+                    hashlib.blake2b(blobs[i] or b"", digest_size=8).digest(),
+                    "little",
+                )
+                rng = np.random.Generator(np.random.PCG64(seed))
+                blobs[i] = rng.integers(0, 256, n_bytes, dtype=np.uint8).tobytes()
+                ws[i], hs[i] = width, height
+            out["data"], out["width"], out["height"] = blobs, ws, hs
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plan-shape: one output row per sampled frame
     timestamp (sequence + explode on duration metadata; JVM-side). The frame

@@ -137,7 +137,9 @@ def numeric_distance_pairs(
     defaults to 2·eps (each interval spans ≤ 3 bins)."""
     if not eps >= 0:
         raise ValueError(f"eps must be >= 0, got {eps}")
-    w = bin_width if bin_width is not None else max(2.0 * eps, 1e-300)
+    # eps == 0 means exact-equality pairs: equal values share a bin under
+    # ANY width, so use 1.0 (a microscopic width would overflow the floor)
+    w = bin_width if bin_width is not None else (2.0 * eps if eps > 0 else 1.0)
     pts = df.select(F.col(id_col).alias("a"), F.col(value_col).alias("a_value"))
     ivs = df.select(
         F.col(id_col).alias("b"),
@@ -201,11 +203,16 @@ def asof_join(
         F.col(right_ts).alias("_matched_ts"),
     ).alias("_r")
 
+    # the tie keeps its NATIVE type (a double-cast would NULL out string
+    # ties and silently break determinism); left rows carry a typed NULL
+    tie_type = (
+        right.schema[tie].dataType.simpleString() if tie is not None else "double"
+    )
     l2 = left.select(
         *[F.col(c).alias(f"_k{i}") for i, c in enumerate(on)],
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("double").alias("_tie"),
+        F.lit(None).cast(tie_type).alias("_tie"),
         l_struct,
         F.lit(None).cast(
             right.select(r_payload).schema["_r"].dataType.simpleString()
@@ -215,7 +222,7 @@ def asof_join(
         *[F.col(c).alias(f"_k{i}") for i, c in enumerate(on)],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        (F.col(tie).cast("double") if tie is not None else F.lit(0.0)).alias("_tie"),
+        (F.col(tie) if tie is not None else F.lit(0.0)).alias("_tie"),
         F.lit(None).cast(
             left.select(l_struct).schema["_l"].dataType.simpleString()
         ).alias("_l"),

@@ -77,3 +77,29 @@ def test_center_side_filtered_before_join(spark, docs):
     plan = canopy_blocking(docs, center_rate=0.25)._jdf.queryExecution().optimizedPlan().toString()
     assert "md5" in plan.lower()
     assert "Join" in plan
+
+
+def test_canopy_pairs_within_canopy_once(spark, docs):
+    from deepblocker_spark.operators.canopy import canopy_pairs
+
+    got = sorted((r.a, r.b) for r in canopy_pairs(
+        docs, center_rate=1.0, t1=0.05, t2=0.5
+    ).collect())
+    # memberships at rate 1.0: docs 1,2,3 share canopies (pairwise shingle
+    # overlap); 4 overlaps nobody; 5 is a singleton -> pairs exactly the
+    # overlapping trio, each once despite appearing in multiple canopies
+    assert got == [(1, 2), (1, 3), (2, 3)]
+    # brute check: every pair must share >= 1 canopy in the memberships
+    from deepblocker_spark.operators.canopy import canopy_blocking
+    m = canopy_blocking(docs, center_rate=1.0, t1=0.05, t2=0.5)
+    by_center = {}
+    for row in m.collect():
+        by_center.setdefault(row.center, set()).add(row.doc_id)
+    want = sorted(
+        {
+            (a, b)
+            for mem in by_center.values()
+            for a in mem for b in mem if a < b
+        }
+    )
+    assert got == want

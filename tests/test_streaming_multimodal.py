@@ -115,3 +115,22 @@ def test_frame_sample_stub(spark):
     frames = frame_sample_stub(df, every_ms=1000).toPandas()
     assert set(frames["media_id"]) == {"m4"}
     assert list(frames["frame_ts_ms"]) == [0, 1000, 2000, 3000]
+
+
+def test_resize_media_plumbing(spark):
+    from deepblocker_spark.operators.multimodal import resize_media
+
+    df = _media_df(spark)
+    out = resize_media(df, 32, 16, decoder="fake").toPandas().set_index("media_id")
+    # images: exact post-resize payload size + updated metadata
+    for mid in ("m1", "m5"):
+        assert len(out.loc[mid, "data"]) == 32 * 16 * 3
+        assert (out.loc[mid, "width"], out.loc[mid, "height"]) == (32, 16)
+    # determinism: same source bytes -> same resized bytes (m1 == m5)
+    assert bytes(out.loc["m1", "data"]) == bytes(out.loc["m5", "data"])
+    # non-images untouched
+    assert bytes(out.loc["m4", "data"]) == b"ftypfakevideo"
+    assert out.loc["m4", "width"] == 1920
+    # real backend is an explicit stub
+    with pytest.raises(NotImplementedError, match="codecs"):
+        resize_media(df, 32, 16, decoder="real")

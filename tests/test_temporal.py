@@ -228,3 +228,31 @@ def test_numeric_distance_pairs_matches_brute_force(spark):
         if abs(va - vb) <= eps
     )
     assert got == want
+
+
+def test_asof_string_tie_keeps_native_type(spark):
+    from deepblocker_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:01"))], ["uid", "ts"]
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "apple"),
+            (1, _ts("2024-01-01T10:00:00"), "zebra"),   # greatest string wins
+            (1, _ts("2024-01-01T10:00:00"), "mango"),
+        ],
+        ["uid", "ts", "val"],
+    )
+    out = asof_join(left, right, on=["uid"], carry=["val"], right_tie="val")
+    assert out.collect()[0].val == "zebra"
+
+
+def test_numeric_distance_eps_zero_exact_equality(spark):
+    from deepblocker_spark.operators.temporal import numeric_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, 3.5), (2, 3.5), (3, 3.500001), (4, 9.0)], "id long, v double"
+    )
+    got = sorted((r.a, r.b) for r in numeric_distance_pairs(df, "id", "v", eps=0.0).collect())
+    assert got == [(1, 2)]
