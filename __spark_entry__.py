@@ -1136,6 +1136,22 @@ def q_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("a", "b", F.round("tfidf_cos", 6).alias("tfidf_cos"))
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # query-driven blocking: Okapi BM25 top-5 over the documents corpus,
+    # queries = every 50th doc's first 80 chars. Inverted index as a
+    # DataFrame (explode + hash aggs), token-keyed probe join, rank on the
+    # 9-rounded score with id tiebreak. Full value oracle.
+    from deepblocker_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("qid"), F.substring("text", 1, 80).alias("qtext")
+    )
+    return bm25_topk(
+        qs, docs, k=5, id_col="doc_id", text_col="text"
+    )
+
+
 def q_nearest_name_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nearest-name join: per customer, the supplier in its nation with the
     # smallest edit distance (JVM codegen levenshtein; broadcast the small
@@ -1599,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "cand_jw_scores": q_cand_jw_scores,
         "tfidf_cosine": q_tfidf_cosine,
+        "bm25_topk": q_bm25_topk,
         "nearest_name_lev": q_nearest_name_lev,
         "flagship_blocking": q_flagship_blocking,
     }
@@ -1786,6 +1803,46 @@ dots as (
 )
 select p.a, p.b, round(coalesce(d.dot, 0.0), 6) as tfidf_cos
 from pairs p left join dots d on p.a = d.a and p.b = d.b
+"""
+
+    # bm25_topk: full BM25 re-derivation — inverted index with Lucene idf,
+    # avgdl over the WHOLE collection (sum dl / N), distinct query tokens,
+    # rank on the 9-rounded score with id tiebreak (parity-locked with the
+    # engine so float summation order cannot flip ranks).
+    _QTOKS = duckdb_tokens_sql("substr(text, 1, 80)")
+    bm25_sql = f"""
+with tok as (select doc_id as id, unnest({_TOKS}) as token from documents),
+tf as (select id, token, count(*)::DOUBLE as tf from tok group by id, token),
+dl as (select id, sum(tf) as dl from tf group by id),
+stats as (
+  select (select count(*)::DOUBLE from documents) as n,
+         (select sum(dl)::DOUBLE from dl)
+           / (select count(*)::DOUBLE from documents) as avgdl
+),
+dft as (select token, count(*)::DOUBLE as df from tf group by token),
+post as (
+  select token, tf.id,
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) as part
+  from tf join dl using (id) join dft using (token) cross join stats
+  where df <= 1.0 * n
+),
+probes as (
+  select distinct doc_id as qid, unnest({_QTOKS}) as token
+  from documents where doc_id % 50 = 7
+),
+scored as (
+  select qid, id, round(sum(part), 9) as s9
+  from probes join post using (token)
+  group by qid, id
+),
+ranked as (
+  select qid, id, s9,
+         row_number() over (partition by qid order by s9 desc, id asc) as rank
+  from scored
+)
+select qid, id, round(s9, 6) as bm25, rank from ranked where rank <= 5
 """
 
     # tfidf_join oracle: the exhaustive weighted-cosine join over the SAME
@@ -2598,6 +2655,7 @@ asof left join (select * from events where event_type = 'click') c
         "fs_patterns": fs_patterns_sql,
         "fs_scores_fixed": fs_scores_fixed_sql,
         "tfidf_cosine": tfidf_cosine_sql,
+        "bm25_topk": bm25_sql,
         "nearest_name_lev": nearest_name_sql,
         "ngram_jaccard": ngram_sql,
         "prefix_jaccard": prefix_jaccard_sql,

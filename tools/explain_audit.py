@@ -53,6 +53,16 @@ def main() -> None:
             ["Project", "ReadSchema: struct<doc_id:bigint,text:string>"],
             "pure projection pipeline: signatures are column expressions",
         ),
+        "bm25_topk": (
+            ["HashAggregate", "WindowGroupLimit", "InMemoryRelation",
+             "!CartesianProduct", "!SortMergeJoin",
+             "ReadSchema: struct<doc_id:bigint,text:string>"],
+            "inverted-index build is partial+final hash aggs over a "
+            "PERSISTED tf frame (tokenize pass runs once, not per branch); "
+            "top-k per query is window group-limit (no full sort); scans "
+            "pruned to (doc_id, text); no cartesian — the 1-row stats "
+            "frame broadcasts",
+        ),
         "preprocess_merge": (
             ["ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"],
             "scan pruned to exactly the blocked columns",
