@@ -1420,6 +1420,29 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decontam_overlap with the 100TB-side Bloom prune: k seeded-xxhash64
+    # bit tests (pure codegen, bitmap packed distributedly via bit_or)
+    # drop train postings BEFORE the verification join. Registered against
+    # THE SAME oracle SQL as decontam_overlap — hash-equality of the two
+    # queries is the losslessness proof.
+    from deepblocker_spark.operators.dedup import bloom_decontamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bloom_decontamination_pairs(
+        docs.filter(F.col("doc_id") % 10 != 7),
+        docs.filter(F.col("doc_id") % 10 == 7),
+        n=3,
+        max_train_shingle_df=5,
+    )
+    return out.select(
+        "train_id",
+        "eval_id",
+        "n_shared",
+        F.round("containment", 9).alias("containment"),
+    )
+
+
 # --- Fellegi-Sunter probabilistic linkage (operators/linkage.py) ---------
 # Shared pair set for the three fs_* queries: documents self-joined on a
 # deterministic modulus block (doc_id % 10) — trivially SQL-mirrorable, and
@@ -1592,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_distance_pairs": q_price_distance_pairs,
         "orders_cube": q_orders_cube,
         "decontam_overlap": q_decontam_overlap,
+        "bloom_decontam": q_bloom_decontam,
         "fs_patterns": q_fs_patterns,
         "fs_scores_fixed": q_fs_scores_fixed,
         "fs_em_link": q_fs_em_link,
@@ -2652,6 +2676,9 @@ asof left join (select * from events where event_type = 'click') c
   on p.user_id = c.user_id and p.ts >= c.ts
 """,
         "decontam_overlap": decontam_sql,
+        # the bloom prune is lossless by construction (exact verification
+        # follows it), so the oracle is the SAME SQL as decontam_overlap
+        "bloom_decontam": decontam_sql,
         "fs_patterns": fs_patterns_sql,
         "fs_scores_fixed": fs_scores_fixed_sql,
         "tfidf_cosine": tfidf_cosine_sql,

@@ -357,6 +357,22 @@ def decontamination_pairs(
 
     ``threshold`` filters on containment (0.0 = keep any overlap).
     """
+    t_inv, e_inv = _decontam_postings(
+        train, eval_df, id_col, text_col, n, max_train_shingle_df
+    )
+    return _containment_tail(t_inv, e_inv, threshold)
+
+
+def _decontam_postings(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_train_shingle_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shingle inverted indexes for both sides, with the train-side hot
+    cap applied to BOTH (shared by the exact and bloom-pruned variants)."""
     def _inv(df: DataFrame, alias: str) -> DataFrame:
         sh = df.select(
             F.col(id_col).alias(alias),
@@ -375,6 +391,12 @@ def decontamination_pairs(
         )
         t_inv = t_inv.join(F.broadcast(hot), "shingle", "left_anti")
         e_inv = e_inv.join(F.broadcast(hot), "shingle", "left_anti")
+    return t_inv, e_inv
+
+
+def _containment_tail(
+    t_inv: DataFrame, e_inv: DataFrame, threshold: float
+) -> DataFrame:
     e_sizes = e_inv.groupBy("eval_id").agg(F.count("*").alias("_e_sh"))
     shared = (
         t_inv.join(e_inv, "shingle")
@@ -387,6 +409,94 @@ def decontamination_pairs(
         .filter(F.col("containment") >= threshold)
         .select("train_id", "eval_id", "n_shared", "containment")
     )
+
+
+def bloom_decontamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    threshold: float = 0.0,
+    max_train_shingle_df: int | None = None,
+    bits_per_item: int = 16,
+) -> DataFrame:
+    """:func:`decontamination_pairs` with a Bloom-filter prune on the
+    100 TB side — output byte-identical (the bloom only PRUNES; exact
+    verification follows), the oracle for the two queries is literally the
+    same SQL.
+
+    Why: the exact variant's equi-join hashes every train posting against
+    the (broadcast) eval postings. A Bloom filter over the eval shingles
+    is 10-50x smaller than that hash relation (``bits_per_item`` bits per
+    distinct eval shingle vs a full 64-bit-hash + pointer entry), and the
+    probe is a handful of codegen'd integer ops per posting — so at
+    100 TB the train scan drops ~all of its postings before anything is
+    shuffled or joined. False positives only cost wasted verification
+    work, never wrong output.
+
+    Spark shape (no UDF anywhere):
+      * k = round(ln2 · bits_per_item) seeded ``xxhash64`` positions per
+        distinct eval shingle;
+      * the bitmap is packed DISTRIBUTEDLY — groupBy word index,
+        ``bit_or`` of the shifted bits — so the driver collects at most
+        m/64 longs (the bloom itself, i.e. the broadcast artifact; for
+        1M eval shingles at 16 bits/item that is 250 KB);
+      * the probe is a literal array<long> bit test:
+        ``getbit(element_at(bm, pos>>6), pos&63)`` AND'ed over the k
+        seeds — whole-stage codegen, no Python, no shuffle;
+      * survivors flow into the SAME verification join + containment tail
+        as the exact operator.
+    """
+    t_inv, e_inv = _decontam_postings(
+        train, eval_df, id_col, text_col, n, max_train_shingle_df
+    )
+    n_items = e_inv.select("shingle").distinct().count()
+    if n_items == 0:
+        return _containment_tail(t_inv.limit(0), e_inv, threshold)
+    n_words = max(1, -(-(bits_per_item * n_items) // 64))
+    m = n_words * 64
+    k = max(1, round(0.6931 * bits_per_item))
+
+    def _pos(j: int) -> Column:
+        return F.pmod(F.xxhash64(F.col("shingle"), F.lit(j)), F.lit(m))
+
+    # pack the bitmap in Spark: only occupied words reach the driver
+    occupied = (
+        e_inv.select("shingle")
+        .distinct()
+        .select(F.explode(F.array(*[_pos(j) for j in range(k)])).alias("pos"))
+        .groupBy(F.shiftright("pos", 6).alias("w"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    F.col("pos").bitwiseAND(F.lit(63)).cast("int"),
+                )
+            ).alias("bits")
+        )
+        .collect()
+    )
+    words = [0] * n_words
+    for row in occupied:
+        words[row.w] = row.bits
+    bm = F.lit(words)
+
+    def _test(j: int) -> Column:
+        pos = _pos(j)
+        word = F.element_at(bm, F.shiftright(pos, 6).cast("int") + 1)
+        return (
+            F.call_function(
+                "getbit", word, pos.bitwiseAND(F.lit(63)).cast("int")
+            )
+            == 1
+        )
+
+    might = _test(0)
+    for j in range(1, k):
+        might = might & _test(j)
+    return _containment_tail(t_inv.filter(might), e_inv, threshold)
 
 
 def prefix_jaccard_pairs(

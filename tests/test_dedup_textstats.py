@@ -301,6 +301,74 @@ def test_decontamination_short_docs_and_empty_eval(spark):
     assert decontamination_pairs(train, empty_ev, n=3).count() == 0
 
 
+def _decontam_rows(df):
+    return sorted(
+        (r.train_id, r.eval_id, r.n_shared, round(r.containment, 9))
+        for r in df.collect()
+    )
+
+
+def test_bloom_decontamination_parity_with_exact(spark):
+    # the bloom prune must be LOSSLESS: byte-identical output to the exact
+    # operator on every fixture above, including the hot-cap + threshold one
+    from deepblocker_spark.operators.dedup import (
+        bloom_decontamination_pairs,
+        decontamination_pairs,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "beta gamma delta epsilon"),
+            (3, "zeta eta theta iota"),
+            (4, "x y z p q r"),
+            (5, "x y z"),
+            (6, "x y z"),
+            (7, "p q r s"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon"), (101, "x y z p q r")],
+        ["doc_id", "text"],
+    )
+    for kw in (
+        dict(n=3),
+        dict(n=3, max_train_shingle_df=2),
+        dict(n=3, max_train_shingle_df=2, threshold=0.5),
+        dict(n=4),
+    ):
+        exact = decontamination_pairs(train, ev, **kw)
+        bloom = bloom_decontamination_pairs(train, ev, **kw)
+        assert _decontam_rows(bloom) == _decontam_rows(exact), kw
+    # tiny bloom (1 bit/item) forces false positives; output must not change
+    exact = decontamination_pairs(train, ev, n=3)
+    noisy = bloom_decontamination_pairs(train, ev, n=3, bits_per_item=1)
+    assert _decontam_rows(noisy) == _decontam_rows(exact)
+
+
+def test_bloom_decontamination_prunes_and_empty_eval(spark):
+    from deepblocker_spark.operators.dedup import (
+        _decontam_postings,
+        bloom_decontamination_pairs,
+    )
+
+    # disjoint-vocab train rows must be dropped BY THE BLOOM (before any
+    # join): reach into the pruned posting frame via the same test the
+    # operator applies — here we just assert no output and that the exact
+    # postings were nonzero (so the prune did the work, not the join)
+    train = spark.createDataFrame(
+        [(i, f"u{i} v{i} w{i} q{i}") for i in range(1, 30)], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame([(9, "a b c d")], ["doc_id", "text"])
+    t_inv, _ = _decontam_postings(train, ev, "doc_id", "text", 3, None)
+    assert t_inv.count() > 0
+    assert bloom_decontamination_pairs(train, ev, n=3).count() == 0
+
+    empty_ev = spark.createDataFrame([], "doc_id long, text string")
+    assert bloom_decontamination_pairs(train, empty_ev, n=3).count() == 0
+
+
 def test_dedup_survivors_keep_first_same_row(spark):
     from deepblocker_spark.operators.dedup import dedup_survivors
 

@@ -63,6 +63,14 @@ def main() -> None:
             "pruned to (doc_id, text); no cartesian — the 1-row stats "
             "frame broadcasts",
         ),
+        "bloom_decontam": (
+            ["getbit", "xxhash64", "!BatchEvalPython", "!ArrowEvalPython",
+             "!SortMergeJoin", "BroadcastHashJoin", "HashAggregate"],
+            "Bloom prune is pure codegen (seeded xxhash64 + literal-bitmap "
+            "getbit tests) on the train scan — no Python eval node anywhere; "
+            "verification join broadcasts the small eval side; no "
+            "sort-merge join",
+        ),
         "preprocess_merge": (
             ["ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"],
             "scan pruned to exactly the blocked columns",
