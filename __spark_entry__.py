@@ -1420,6 +1420,39 @@ def q_decontam_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style within-doc repetition signals (dup-line fraction, top
+    # bigram occupancy, duplicated-trigram occupancy) — array exprs for
+    # lines, explode + two hash aggs per n-gram size. Full value oracle.
+    from deepblocker_spark.operators.textstats import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII scrub over documents with deterministic synthesized PII (the
+    # corpus itself is clean): one codegen'd regexp pass, typed sentinels,
+    # per-category counts. Patterns are Java/RE2 parity-safe. Full value
+    # oracle.
+    from deepblocker_spark.operators.textstats import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 acct "),
+            (F.col("doc_id") + 1000000000).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(docs).select(
+        "doc_id", "n_email", "n_ipv4", "n_digit_run", "redacted"
+    )
+
+
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decontam_overlap with the 100TB-side Bloom prune: k seeded-xxhash64
     # bit tests (pure codegen, bitmap packed distributedly via bit_or)
@@ -1616,6 +1649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": q_orders_cube,
         "decontam_overlap": q_decontam_overlap,
         "bloom_decontam": q_bloom_decontam,
+        "repetition_stats": q_repetition_stats,
+        "pii_redaction": q_pii_redaction,
         "fs_patterns": q_fs_patterns,
         "fs_scores_fixed": q_fs_scores_fixed,
         "fs_em_link": q_fs_em_link,
@@ -1827,6 +1862,75 @@ dots as (
 )
 select p.a, p.b, round(coalesce(d.dot, 0.0), 6) as tfidf_cos
 from pairs p left join dots d on p.a = d.a and p.b = d.b
+"""
+
+    # repetition_stats: Gopher repetition signals re-derived — lines via
+    # string_split, occurrence-preserving n-grams via list_transform over
+    # generate_series (1-based inclusive slices), same left-join + coalesce
+    # for gram-less docs.
+    repetition_sql = f"""
+with base as (
+  select doc_id, string_split(text, chr(10)) as lines, {_TOKS} as tk
+  from documents
+),
+lf as (
+  select doc_id,
+         case when len(lines) > 0
+              then 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+              else 0.0 end as dup_line_frac
+  from base
+),
+bi as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 1),
+                               i -> array_to_string(tk[i:i+1], ' '))) as g
+  from base where len(tk) >= 2
+),
+bic as (select doc_id, g, count(*)::DOUBLE as c from bi group by doc_id, g),
+bia as (select doc_id, max(c) / sum(c) as top_bigram_frac from bic group by doc_id),
+tri as (
+  select doc_id,
+         unnest(list_transform(generate_series(1, len(tk) - 2),
+                               i -> array_to_string(tk[i:i+2], ' '))) as g
+  from base where len(tk) >= 3
+),
+tric as (select doc_id, g, count(*)::DOUBLE as c from tri group by doc_id, g),
+tria as (
+  select doc_id,
+         sum(case when c >= 2 then c else 0 end) / sum(c) as dup_trigram_frac
+  from tric group by doc_id
+)
+select l.doc_id,
+       round(l.dup_line_frac, 9) as dup_line_frac,
+       round(coalesce(b.top_bigram_frac, 0.0), 9) as top_bigram_frac,
+       round(coalesce(t.dup_trigram_frac, 0.0), 9) as dup_trigram_frac
+from lf l left join bia b using (doc_id) left join tria t using (doc_id)
+"""
+
+    # pii_redaction: identical synthesized PII, identical patterns (plain
+    # classes + \b only — Java and RE2 agree), counts on the ORIGINAL text,
+    # replacement applied sequentially with the 'g' flag.
+    _pii_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _pii_ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    _pii_num = "\\b\\d{9,}\\b"
+    pii_sql = f"""
+with base as (
+  select doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'
+              || (doc_id % 256)::VARCHAR || '.1 acct '
+              || (doc_id + 1000000000)::VARCHAR as text
+  from documents
+)
+select doc_id,
+       len(regexp_extract_all(text, '{_pii_email}'))::INT as n_email,
+       len(regexp_extract_all(text, '{_pii_ip}'))::INT as n_ipv4,
+       len(regexp_extract_all(text, '{_pii_num}'))::INT as n_digit_run,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_pii_email}', '<EMAIL>', 'g'),
+           '{_pii_ip}', '<IP>', 'g'),
+         '{_pii_num}', '<NUM>', 'g') as redacted
+from base
 """
 
     # bm25_topk: full BM25 re-derivation — inverted index with Lucene idf,
@@ -2679,6 +2783,8 @@ asof left join (select * from events where event_type = 'click') c
         # the bloom prune is lossless by construction (exact verification
         # follows it), so the oracle is the SAME SQL as decontam_overlap
         "bloom_decontam": decontam_sql,
+        "repetition_stats": repetition_sql,
+        "pii_redaction": pii_sql,
         "fs_patterns": fs_patterns_sql,
         "fs_scores_fixed": fs_scores_fixed_sql,
         "tfidf_cosine": tfidf_cosine_sql,

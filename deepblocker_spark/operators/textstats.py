@@ -136,3 +136,125 @@ def quantile_bands(
     for i in range(1, n_bands):
         band = band + (F.col(score_col) > F.element_at(F.col("_b"), i)).cast("int")
     return out.withColumn("band", band).drop("_b")
+
+
+def repetition_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1 —
+    the within-document repetition filters of the MassiveText/RefinedWeb
+    lineage), token-occurrence variants so both engines compute them
+    exactly:
+
+      dup_line_frac     fraction of the doc's lines that are repeats of
+                        another line (1 − distinct/total; 0 for 1-line
+                        docs) — pure array exprs, no explode
+      top_bigram_frac   fraction of token-bigram OCCURRENCES taken by the
+                        doc's most frequent bigram (0 when < 2 tokens);
+                        ties break on the lexicographically greatest
+                        bigram via a struct max — two hash aggs, no window
+      dup_trigram_frac  fraction of token-trigram occurrences belonging
+                        to trigrams that occur ≥ 2 times in the doc
+
+    Shape: the line stats ride the scan projection; the n-gram stats are
+    one explode + two hash aggregations each (partial aggregation
+    map-side), joined back by id — no window, no UDF, no driver state.
+    High values on any of the three are the standard "repeated boilerplate
+    / degenerate generation" removal rule before LLM training.
+    """
+    # occurrence-preserving n-grams: dedup.token_shingles is distinct by
+    # design (Jaccard semantics) — repetition stats need every occurrence
+    def _ngrams(tokens: Column, n: int) -> Column:
+        idx = F.sequence(F.lit(0), F.size(tokens) - n)
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))
+        )
+        empty = F.array().cast("array<string>")
+        return F.when(F.size(tokens) >= n, grams).otherwise(empty)
+
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.size(lines) > 0,
+            1.0 - F.size(F.array_distinct(lines)) / F.size(lines),
+        )
+        .otherwise(0.0)
+        .alias("dup_line_frac"),
+        tokens_col(t).alias("_toks"),
+    )
+
+    def _grams(n: int) -> DataFrame:
+        return (
+            base.select("id", F.explode(_ngrams(F.col("_toks"), n)).alias("g"))
+            .groupBy("id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    bi = (
+        _grams(2)
+        .groupBy("id")
+        .agg(
+            F.max(F.struct(F.col("c"), F.col("g"))).alias("_top"),
+            F.sum("c").alias("_tot"),
+        )
+        .select("id", (F.col("_top.c") / F.col("_tot")).alias("top_bigram_frac"))
+    )
+    tri = (
+        _grams(3)
+        .groupBy("id")
+        .agg(
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("_dup"),
+            F.sum("c").alias("_tot"),
+        )
+        .select("id", (F.col("_dup") / F.col("_tot")).alias("dup_trigram_frac"))
+    )
+    return (
+        base.drop("_toks")
+        .join(bi, "id", "left")
+        .join(tri, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.round("dup_line_frac", 9).alias("dup_line_frac"),
+            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 9).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.coalesce("dup_trigram_frac", F.lit(0.0)), 9).alias(
+                "dup_trigram_frac"
+            ),
+        )
+    )
+
+
+# PII patterns chosen for Java-regex / RE2 (DuckDB) parity: plain character
+# classes + \b word boundaries only — no lookarounds, no backrefs, so both
+# engines match the identical spans. The long-digit-run rule is the blunt
+# "account-number-shaped" catch-all used by public curation pipelines.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "digit_run": (r"\b\d{9,}\b", "<NUM>"),
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Replace email / IPv4 / long-digit-run spans with typed sentinels and
+    attach per-category match counts (``n_email``, ``n_ipv4``,
+    ``n_digit_run``) — the pre-training scrub step. Pure codegen
+    (`regexp_replace` + `regexp_extract_all`): the scan streams once, no
+    shuffle, partition-preserving. Patterns are applied in the declared
+    order on the ORIGINAL text for counting but sequentially for
+    replacement (an email's digits are already gone when digit_run runs).
+    """
+    t = F.col(text_col)
+    red = t
+    counts = []
+    for name, (pat, sub) in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, sub)
+    return df.select("*", *counts, red.alias(out_col))
