@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.storagelevel import StorageLevel
 
 from deepblocker_spark.functions.tokenizer import tokens_col
 
@@ -411,6 +412,19 @@ def _containment_tail(
     )
 
 
+# eval-posting frames persisted by bloom_decontamination_pairs; bounded:
+# entries past the two most recent are unpersisted eagerly (same cap
+# discipline as topk.py's f32 cache), release_decontam_caches() drops all
+_DECONTAM_CACHES: list[DataFrame] = []
+
+
+def release_decontam_caches() -> None:
+    """Unpersist eval-posting frames cached by bloom_decontamination_pairs.
+    Safe any time; subsequent actions simply recompute."""
+    while _DECONTAM_CACHES:
+        _DECONTAM_CACHES.pop().unpersist()
+
+
 def bloom_decontamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,
@@ -451,6 +465,14 @@ def bloom_decontamination_pairs(
     t_inv, e_inv = _decontam_postings(
         train, eval_df, id_col, text_col, n, max_train_shingle_df
     )
+    # the eval postings run THREE actions (distinct count, bitmap collect,
+    # the final containment query) and their lineage includes the
+    # train-side hot-shingle aggregation when the cap is set — persist so
+    # the train pass behind `hot` runs once, not once per action
+    e_inv = e_inv.persist(StorageLevel.MEMORY_AND_DISK)
+    while len(_DECONTAM_CACHES) >= 2:
+        _DECONTAM_CACHES.pop(0).unpersist()
+    _DECONTAM_CACHES.append(e_inv)
     n_items = e_inv.select("shingle").distinct().count()
     if n_items == 0:
         return _containment_tail(t_inv.limit(0), e_inv, threshold)
@@ -481,7 +503,10 @@ def bloom_decontamination_pairs(
     words = [0] * n_words
     for row in occupied:
         words[row.w] = row.bits
-    bm = F.lit(words)
+    # explicit array<long>: lit() infers array<int> whenever every word
+    # happens to fit int32, and getbit on an int rejects positions >= 32
+    # (a data-dependent crash — caught in review, regression-tested)
+    bm = F.lit(words).cast("array<long>")
 
     def _test(j: int) -> Column:
         pos = _pos(j)

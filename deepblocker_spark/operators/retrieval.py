@@ -40,8 +40,10 @@ from ..functions.tokenizer import tokens_col
 
 # tf feeds three branches (doc lengths, document frequencies, the posting
 # join) — persisted so the tokenize+count pass over the corpus runs ONCE,
-# not once per branch (same discipline as lsh.py's signature caches; the
-# ContextCleaner is the GC backstop).
+# not once per branch. Bounded: entries past the two most recent are
+# unpersisted eagerly (the list holds strong references, so the
+# ContextCleaner alone could never reclaim them — same cap discipline as
+# topk.py's f32 cache); release_postings_caches() drops all.
 _TF_CACHES: list[DataFrame] = []
 
 
@@ -77,6 +79,8 @@ def bm25_postings(
         .agg(F.count("*").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    while len(_TF_CACHES) >= 2:
+        _TF_CACHES.pop(0).unpersist()
     _TF_CACHES.append(tf)
     dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
     # avgdl averages over the WHOLE collection (token-less docs count as

@@ -35,13 +35,17 @@ def test_repetition_profile_hand_computed(spark):
         assert got[5][c] == 0.0
 
 
-def test_repetition_profile_tie_break_deterministic(spark):
-    # bigrams "a b" and "b a" both occur twice; struct max picks the
-    # lexicographically greatest among the tied counts — but the FRACTION
-    # is what is emitted, identical either way (2/5)
+def test_repetition_profile_top_bigram_counts_occurrences(spark):
+    # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] -> "a b" x3 of 5.
+    # A distinct-shingle implementation would report 1/2 here.
     df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
     row = repetition_profile(df).collect()[0]
     assert row.top_bigram_frac == pytest.approx(3 / 5)
+    # genuine count tie ("a b" x2, "b b" x2, "b a" x1): only the FRACTION
+    # is emitted, so the struct-max tie-break cannot change the output
+    df2 = spark.createDataFrame([(1, "a b b a b b")], ["doc_id", "text"])
+    row2 = repetition_profile(df2).collect()[0]
+    assert row2.top_bigram_frac == pytest.approx(2 / 5)
 
 
 def test_redact_pii_counts_and_text(spark):

@@ -369,6 +369,23 @@ def test_bloom_decontamination_prunes_and_empty_eval(spark):
     assert bloom_decontamination_pairs(train, empty_ev, n=3).count() == 0
 
 
+def test_bloom_decontamination_int32_bitmap_regression(spark):
+    # regression (review finding): with ONE eval shingle at bits_per_item=1
+    # the bitmap is a single word with one low bit set — lit() would infer
+    # array<int> and getbit on an int throws for probe positions >= 32.
+    # The explicit array<long> cast must keep every probe legal. Sweep
+    # seeds-by-content until both <32 and >=32 probe positions occur.
+    from deepblocker_spark.operators.dedup import bloom_decontamination_pairs
+
+    ev = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(i, f"t{i} u{i} v{i}") for i in range(1, 65)] + [(99, "a b c")],
+        ["doc_id", "text"],
+    )
+    got = bloom_decontamination_pairs(train, ev, n=3, bits_per_item=1).collect()
+    assert [(r.train_id, r.eval_id) for r in got] == [(99, 9)]
+
+
 def test_dedup_survivors_keep_first_same_row(spark):
     from deepblocker_spark.operators.dedup import dedup_survivors
 
