@@ -24,7 +24,7 @@ All emit deterministic, id-ordered pair tables (a < b).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -473,21 +473,46 @@ def bloom_decontamination_pairs(
     while len(_DECONTAM_CACHES) >= 2:
         _DECONTAM_CACHES.pop(0).unpersist()
     _DECONTAM_CACHES.append(e_inv)
-    n_items = e_inv.select("shingle").distinct().count()
-    if n_items == 0:
+    test = build_shingle_bloom(e_inv.select("shingle"), bits_per_item)
+    if test is None:
         return _containment_tail(t_inv.limit(0), e_inv, threshold)
+    return _containment_tail(t_inv.filter(test(F.col("shingle"))), e_inv, threshold)
+
+
+def build_shingle_bloom(
+    items: DataFrame, bits_per_item: int = 16
+) -> Callable[[Column], Column] | None:
+    """Build a Bloom filter over ``items`` (a one-string-column frame) and
+    return a membership-test FUNCTION of a string Column — reusable in a
+    batch filter, an array lambda, or a streaming plan (the test is a pure
+    literal-bitmap expression, so it is stateless and stream-legal).
+    Returns None when ``items`` is empty.
+
+    k = round(ln2·bits_per_item) seeded ``xxhash64`` positions per
+    distinct item; the bitmap is packed DISTRIBUTEDLY (groupBy word index
+    + ``bit_or``), so the driver collects at most m/64 longs — the filter
+    itself. Probes are codegen'd ``getbit`` tests on the literal
+    array<long>.
+    """
+    col = items.columns[0]
+    distinct = items.select(F.col(col).alias("_it")).distinct()
+    n_items = distinct.count()
+    if n_items == 0:
+        return None
     n_words = max(1, -(-(bits_per_item * n_items) // 64))
     m = n_words * 64
     k = max(1, round(0.6931 * bits_per_item))
 
-    def _pos(j: int) -> Column:
-        return F.pmod(F.xxhash64(F.col("shingle"), F.lit(j)), F.lit(m))
+    def _pos(c: Column, j: int) -> Column:
+        return F.pmod(F.xxhash64(c, F.lit(j)), F.lit(m))
 
     # pack the bitmap in Spark: only occupied words reach the driver
     occupied = (
-        e_inv.select("shingle")
-        .distinct()
-        .select(F.explode(F.array(*[_pos(j) for j in range(k)])).alias("pos"))
+        distinct.select(
+            F.explode(
+                F.array(*[_pos(F.col("_it"), j) for j in range(k)])
+            ).alias("pos")
+        )
         .groupBy(F.shiftright("pos", 6).alias("w"))
         .agg(
             F.bit_or(
@@ -508,20 +533,21 @@ def bloom_decontamination_pairs(
     # (a data-dependent crash — caught in review, regression-tested)
     bm = F.lit(words).cast("array<long>")
 
-    def _test(j: int) -> Column:
-        pos = _pos(j)
-        word = F.element_at(bm, F.shiftright(pos, 6).cast("int") + 1)
-        return (
-            F.call_function(
-                "getbit", word, pos.bitwiseAND(F.lit(63)).cast("int")
+    def test(c: Column) -> Column:
+        out = None
+        for j in range(k):
+            pos = _pos(c, j)
+            word = F.element_at(bm, F.shiftright(pos, 6).cast("int") + 1)
+            bit = (
+                F.call_function(
+                    "getbit", word, pos.bitwiseAND(F.lit(63)).cast("int")
+                )
+                == 1
             )
-            == 1
-        )
+            out = bit if out is None else out & bit
+        return out
 
-    might = _test(0)
-    for j in range(1, k):
-        might = might & _test(j)
-    return _containment_tail(t_inv.filter(might), e_inv, threshold)
+    return test
 
 
 def prefix_jaccard_pairs(

@@ -372,3 +372,87 @@ def streaming_block_against_index(
     return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["l_id", "r_id"]
     )
+
+
+def streaming_bloom_decontam(
+    stream: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    n: int = 8,
+    threshold: float = 0.0,
+    bits_per_item: int = 16,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Continuous-ingest decontamination: documents arriving on a stream
+    are checked against a STATIC eval corpus and emitted as
+    (train_id, eval_id, n_shared, containment, ts) — the streaming form of
+    :func:`~deepblocker_spark.operators.dedup.bloom_decontamination_pairs`
+    with the identical containment definition (no hot cap).
+
+    Stream-legal by construction — there is NO streaming aggregation:
+
+      * the Bloom filter over the eval shingles is built ONCE at plan time
+        (:func:`build_shingle_bloom`; a pure literal-bitmap expression) and
+        prunes each arriving doc's shingle ARRAY in place via a codegen'd
+        array ``filter`` — most clean docs die here, before any join;
+      * survivors explode only their bloom-passing shingles into a
+        stream-static equi-join with the eval postings (exact match —
+        bloom false positives cannot reach the output), bounded per batch
+        by the new docs' shingle overlap;
+      * ``n_shared``/``containment`` come from ``array_intersect`` of the
+        two docs' carried shingle arrays — a ROW-LEVEL expression, which
+        is why no stateful count is needed; the multi-shingle join
+        duplicates collapse via ``dropDuplicatesWithinWatermark`` on the
+        pair key (the only state, watermark-bounded).
+
+    The eval side (postings + per-doc shingle arrays) is persisted — a
+    stream-static join re-evaluates the static plan each microbatch;
+    release via ``release_decontam_caches()``.
+    """
+    from deepblocker_spark.functions.tokenizer import tokens_col
+    from deepblocker_spark.operators.dedup import (
+        _DECONTAM_CACHES,
+        build_shingle_bloom,
+        token_shingles,
+    )
+
+    ev = (
+        eval_df.select(
+            F.col(id_col).alias("eval_id"),
+            token_shingles(tokens_col(text_col), n).alias("_e_sh"),
+        )
+        .filter(F.size("_e_sh") > 0)
+        .persist()
+    )
+    _DECONTAM_CACHES.append(ev)
+    test = build_shingle_bloom(
+        ev.select(F.explode("_e_sh").alias("shingle")), bits_per_item
+    )
+    e_post = ev.select("eval_id", "_e_sh", F.explode("_e_sh").alias("shingle"))
+
+    s = stream.select(
+        F.col(id_col).alias("train_id"),
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        token_shingles(tokens_col(text_col), n).alias("_t_sh"),
+    )
+    pruned = s.withColumn(
+        "_hits",
+        F.filter("_t_sh", test) if test is not None
+        else F.array().cast("array<string>"),
+    ).filter(F.size("_hits") > 0)
+    cand = pruned.select(
+        "train_id", ts_col, "_t_sh", F.explode("_hits").alias("shingle")
+    ).join(e_post, "shingle")
+    scored = (
+        cand.withColumn(
+            "n_shared", F.size(F.array_intersect("_t_sh", "_e_sh"))
+        )
+        .withColumn("containment", F.col("n_shared") / F.size("_e_sh"))
+        .filter(F.col("containment") >= threshold)
+        .select("train_id", "eval_id", "n_shared", "containment", ts_col)
+    )
+    return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["train_id", "eval_id"]
+    )

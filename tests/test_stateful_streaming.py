@@ -275,3 +275,59 @@ def test_streaming_block_against_index_restart_dedup_state(spark, tmp_path):
     assert set(pair_counts.index) == {(100, 3), (110, 5)}
     # the restart boundary did not double-emit: each pair exactly once
     assert (pair_counts == 1).all(), pair_counts
+
+
+def test_streaming_bloom_decontam_parity_with_batch(spark, tmp_path):
+    """streaming<->batch parity: the same train/eval fixture through
+    streaming_bloom_decontam must emit exactly the batch
+    bloom_decontamination_pairs rows (same n_shared/containment; the
+    stream adds only the ts column and the watermark pair-dedup)."""
+    from deepblocker_spark.operators.dedup import bloom_decontamination_pairs
+    from deepblocker_spark.streaming.dedup_stream import streaming_bloom_decontam
+
+    train_rows = [
+        (1, "alpha beta gamma delta", "2024-01-01T10:00:00"),
+        (2, "beta gamma delta epsilon", "2024-01-01T10:00:01"),
+        (3, "zeta eta theta iota", "2024-01-01T10:00:02"),
+        (4, "totally disjoint words here", "2024-01-01T10:00:03"),
+        # shares shingles with BOTH eval docs
+        (5, "alpha beta gamma x y z p q r", "2024-01-01T10:00:04"),
+    ]
+    eval_rows = [(100, "alpha beta gamma delta epsilon"), (101, "x y z p q r")]
+    train = spark.createDataFrame(
+        [(i, t) for i, t, _ in train_rows], ["doc_id", "text"]
+    )
+    ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    batch = {
+        (r.train_id, r.eval_id): (r.n_shared, round(r.containment, 9))
+        for r in bloom_decontamination_pairs(train, ev, n=3).collect()
+    }
+    assert batch  # fixture really overlaps
+
+    sdf = spark.createDataFrame(train_rows, ["doc_id", "text", "ts"])
+    in_path = str(tmp_path / "bd_in")
+    out_path = str(tmp_path / "bd_out")
+    sdf.coalesce(1).write.parquet(in_path)
+    q = (
+        streaming_bloom_decontam(
+            spark.readStream.schema(sdf.schema).parquet(in_path), ev, n=3
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "bd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path).toPandas()
+    stream = {
+        (r.train_id, r.eval_id): (r.n_shared, round(r.containment, 9))
+        for r in got.itertuples()
+    }
+    assert stream == batch
+    # clean doc 4 must have been dropped by the BLOOM gate (no shingle of
+    # doc 4 can pass: its vocabulary is disjoint from eval's), and every
+    # pair is emitted exactly once despite multi-shingle joins
+    assert all(t != 4 for t, _ in stream)
+    assert len(got) == len(stream)
