@@ -1152,6 +1152,24 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FILTERED retrieval: partition_by="lang" scopes BM25 to same-language
+    # hits with per-language corpus statistics (N/avgdl/df all per slice) —
+    # the lexical mirror of lsh_topk_filtered. Full value oracle: the same
+    # SQL re-derivation with every CTE keyed by lang.
+    from deepblocker_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("qid"),
+        "lang",
+        F.substring("text", 1, 80).alias("qtext"),
+    )
+    return bm25_topk(
+        qs, docs, k=5, id_col="doc_id", text_col="text", partition_by="lang"
+    )
+
+
 def q_nearest_name_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nearest-name join: per customer, the supplier in its nation with the
     # smallest edit distance (JVM codegen levenshtein; broadcast the small
@@ -1675,6 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cand_jw_scores": q_cand_jw_scores,
         "tfidf_cosine": q_tfidf_cosine,
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
         "nearest_name_lev": q_nearest_name_lev,
         "flagship_blocking": q_flagship_blocking,
     }
@@ -1963,6 +1982,48 @@ probes as (
 scored as (
   select qid, id, round(sum(part), 9) as s9
   from probes join post using (token)
+  group by qid, id
+),
+ranked as (
+  select qid, id, s9,
+         row_number() over (partition by qid order by s9 desc, id asc) as rank
+  from scored
+)
+select qid, id, round(s9, 6) as bm25, rank from ranked where rank <= 5
+"""
+
+    # bm25_topk_filtered: the same BM25 re-derivation with every statistic
+    # CTE keyed by lang (per-partition N/avgdl/df/stop-cap) and the probe
+    # join scoped to (lang, token).
+    bm25_filtered_sql = f"""
+with tok as (select doc_id as id, lang, unnest({_TOKS}) as token from documents),
+tf as (select id, lang, token, count(*)::DOUBLE as tf from tok group by id, lang, token),
+dl as (select id, lang, sum(tf) as dl from tf group by id, lang),
+stats as (
+  select d.lang, count(*)::DOUBLE as n,
+         coalesce(sum(dlx.dl), 0)::DOUBLE / count(*)::DOUBLE as avgdl
+  from documents d left join dl dlx on d.doc_id = dlx.id
+  group by d.lang
+),
+dft as (select lang, token, count(*)::DOUBLE as df from tf group by lang, token),
+post as (
+  select tf.lang, tf.token, tf.id,
+         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+           * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) as part
+  from tf
+  join dl on tf.id = dl.id and tf.lang = dl.lang
+  join dft on tf.token = dft.token and tf.lang = dft.lang
+  join stats on tf.lang = stats.lang
+  where df <= 1.0 * n
+),
+probes as (
+  select distinct doc_id as qid, lang, unnest({_QTOKS}) as token
+  from documents where doc_id % 50 = 7
+),
+scored as (
+  select qid, id, round(sum(part), 9) as s9
+  from probes p join post on p.token = post.token and p.lang = post.lang
   group by qid, id
 ),
 ranked as (
@@ -2789,6 +2850,7 @@ asof left join (select * from events where event_type = 'click') c
         "fs_scores_fixed": fs_scores_fixed_sql,
         "tfidf_cosine": tfidf_cosine_sql,
         "bm25_topk": bm25_sql,
+        "bm25_topk_filtered": bm25_filtered_sql,
         "nearest_name_lev": nearest_name_sql,
         "ngram_jaccard": ngram_sql,
         "prefix_jaccard": prefix_jaccard_sql,

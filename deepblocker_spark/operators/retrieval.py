@@ -61,6 +61,7 @@ def bm25_postings(
     k1: float = 1.2,
     b: float = 0.75,
     max_df_ratio: float = 1.0,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """The inverted index: one row per (token, id) with the fully
     precomputed BM25 contribution ``part`` = idf(token) · tf-saturation ·
@@ -70,32 +71,54 @@ def bm25_postings(
     Sparck Jones form, ≥ 0 always); tf term = tf·(k1+1)/(tf + k1·(1 − b +
     b·dl/avgdl)). Tokens with df > max_df_ratio·N are dropped from the
     index (stop-word purge — bounded postings, nearly-zero idf anyway).
+
+    ``partition_by`` scopes the whole index to a metadata column (same
+    language / tenant / shard — the lexical mirror of the filtered ANN's
+    ``lsh_candidates(partition_by=...)``): EVERY corpus statistic (N,
+    avgdl, df, the stop-word cap) is computed per partition value, exactly
+    as if the index were built independently per slice, and the partition
+    column rides the posting rows so the probe join scopes automatically.
     """
+    part = [partition_by] if partition_by else []
     toks = corpus.select(
-        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("token")
+        F.col(id_col).alias("id"),
+        *part,
+        F.explode(tokens_col(text_col)).alias("token"),
     )
     tf = (
-        toks.groupBy("id", "token")
+        toks.groupBy("id", *part, "token")
         .agg(F.count("*").alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     while len(_TF_CACHES) >= 2:
         _TF_CACHES.pop(0).unpersist()
     _TF_CACHES.append(tf)
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    dl = tf.groupBy("id", *part).agg(F.sum("tf").alias("dl"))
     # avgdl averages over the WHOLE collection (token-less docs count as
     # length 0), so it comes from sum(dl)/N, not avg over docs with tokens
-    stats = corpus.select(F.count("*").cast("double").alias("n")).crossJoin(
-        dl.select(F.sum("dl").cast("double").alias("_tot"))
-    ).select("n", (F.col("_tot") / F.col("n")).alias("avgdl"))
-    dft = tf.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    if part:
+        n_df = corpus.groupBy(*part).agg(F.count("*").cast("double").alias("n"))
+        tot_df = dl.groupBy(*part).agg(F.sum("dl").cast("double").alias("_tot"))
+        stats = n_df.join(tot_df, part).select(
+            *part, "n", (F.col("_tot") / F.col("n")).alias("avgdl")
+        )
+    else:
+        stats = corpus.select(F.count("*").cast("double").alias("n")).crossJoin(
+            dl.select(F.sum("dl").cast("double").alias("_tot"))
+        ).select("n", (F.col("_tot") / F.col("n")).alias("avgdl"))
+    dft = tf.groupBy(*part, "token").agg(F.count("*").cast("double").alias("df"))
+    joined = tf.join(dl, ["id", *part]).join(dft, [*part, "token"])
+    joined = (
+        joined.join(F.broadcast(stats), part)
+        if part
+        else joined.crossJoin(F.broadcast(stats))
+    )
     return (
-        tf.join(dl, "id")
-        .join(dft, "token")
-        .crossJoin(F.broadcast(stats))
+        joined
         .filter(F.col("df") <= F.lit(max_df_ratio) * F.col("n"))
         .select(
             "token",
+            *part,
             "id",
             (
                 F.log(
@@ -124,6 +147,7 @@ def bm25_topk(
     query_text: str = "qtext",
     id_col: str = "id",
     text_col: str = "text",
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 retrieval: → (qid, id, bm25, rank), rank 1..≤k per
     query. Query term frequency is binarized (distinct query tokens — the
@@ -132,16 +156,26 @@ def bm25_topk(
     score rounded to 9 decimals with ties broken on ascending id, so the
     order is reproducible across engines regardless of float summation
     order; the emitted ``bm25`` is rounded to 6.
+
+    ``partition_by`` (a column present on BOTH frames) scopes retrieval to
+    matching partition values with per-partition corpus statistics —
+    bit-identical to running the un-partitioned operator independently on
+    every slice (pytest-locked), with zero extra stages: the partition
+    column simply joins alongside the token.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    postings = bm25_postings(corpus, id_col, text_col, k1, b, max_df_ratio)
+    part = [partition_by] if partition_by else []
+    postings = bm25_postings(
+        corpus, id_col, text_col, k1, b, max_df_ratio, partition_by
+    )
     probes = queries.select(
         F.col(query_id).alias("qid"),
+        *part,
         F.explode(tokens_col(query_text)).alias("token"),
     ).distinct()
     scored = (
-        probes.join(postings, "token")
+        probes.join(postings, [*part, "token"])
         .groupBy("qid", "id")
         .agg(F.round(F.sum("part"), 9).alias("_s9"))
     )

@@ -115,3 +115,36 @@ def test_bm25_k_validation(spark, frames):
     q, c = frames
     with pytest.raises(ValueError, match="k must be"):
         bm25_topk(q, c, k=0)
+
+
+def test_bm25_partition_by_equals_per_slice_runs(spark):
+    # filtered retrieval parity: partition_by must be bit-identical to
+    # running the un-partitioned operator independently per slice (same
+    # per-partition N/avgdl/df statistics, no cross-partition hits)
+    corpus = spark.createDataFrame(
+        [(i, t, lang) for (i, t), lang in zip(CORPUS, ["en", "en", "fr", "en", "fr", "fr"])],
+        "id long, text string, lang string",
+    )
+    qs = spark.createDataFrame(
+        [(10, "quick fox", "en"), (11, "quick fox", "fr"),
+         (13, "dolor sit", "fr"), (14, "dolor sit", "en")],
+        "qid long, qtext string, lang string",
+    )
+    got = sorted(
+        (r.qid, r.rank, r.id, r.bm25)
+        for r in bm25_topk(qs, corpus, k=3, partition_by="lang").collect()
+    )
+    want = []
+    for lang in ("en", "fr"):
+        sliced = bm25_topk(
+            qs.filter(f"lang = '{lang}'"), corpus.filter(f"lang = '{lang}'"), k=3
+        )
+        want += [(r.qid, r.rank, r.id, r.bm25) for r in sliced.collect()]
+    assert got == sorted(want)
+    # cross-partition leakage check: fr query 13 must hit fr doc 3 only,
+    # en query 14 must hit nothing (no "dolor" in the en slice)
+    by_q = {}
+    for qid, rank, i, _ in got:
+        by_q.setdefault(qid, []).append(i)
+    assert by_q.get(13) == [3]
+    assert 14 not in by_q
