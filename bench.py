@@ -66,7 +66,10 @@ SCALE_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "240000"))
 # operator's pruning) degenerates to near-quadratic — a data pathology, not
 # an operator property. They remain in the sf0.01 correctness gate; the
 # Jaro-Winkler scoring kernel has its own 100k-pair microbench below
-# (scoring_jw).
+# (scoring_jw). The round-4 document additions (bm25_topk[_filtered],
+# decontam/bloom_decontam, repetition_stats, canopy) share the same
+# ~31-word-vocabulary pathology — dense true result sets — so they stay
+# correctness-gated only.
 BENCH_QUERIES = [
     "flagship_blocking",
     "topk_cosine",
