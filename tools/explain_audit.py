@@ -71,6 +71,23 @@ def main() -> None:
             "verification join broadcasts the small eval side; no "
             "sort-merge join",
         ),
+        "bm25_topk_filtered": (
+            ["HashAggregate", "WindowGroupLimit", "InMemoryRelation",
+             "!CartesianProduct", "!SortMergeJoin",
+             "ReadSchema: struct<doc_id:bigint,text:string,lang:string>",
+             "ReadSchema: struct<lang:string>"],
+            "filtered retrieval keeps the bm25_topk plan shape — the lang "
+            "key joins alongside the token with zero extra stages; scans "
+            "pruned to (doc_id, text, lang), and the per-partition doc "
+            "count reads lang ALONE",
+        ),
+        "canopy_pairs": (
+            ["InMemoryRelation", "!CartesianProduct"],
+            "pair emission reuses canopy_blocking's PERSISTED assignment "
+            "frame for both sides of the center self-join (no "
+            "re-execution of the canopy pair join); equi-join on center, "
+            "never a cartesian",
+        ),
         "preprocess_merge": (
             ["ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"],
             "scan pruned to exactly the blocked columns",
