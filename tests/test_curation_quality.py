@@ -64,3 +64,67 @@ def test_redact_pii_counts_and_text(spark):
     assert got[2].redacted == got[2].text
     assert (got[3].n_email, got[3].n_ipv4, got[3].n_digit_run) == (2, 2, 0)
     assert got[3].redacted == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
+
+
+def test_curation_pipeline_composition(spark):
+    """End-to-end curation chain — the canonical pre-training pipeline out
+    of this repo's own operators, each stage's output feeding the next:
+    PII scrub -> repetition filter -> exact dedup (keep-first) ->
+    bloom decontamination vs a held-out eval set. Deterministic fixture,
+    exact expected survivor set."""
+    from deepblocker_spark.operators.dedup import (
+        bloom_decontamination_pairs,
+        dedup_survivors,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            # 1: clean, unique, low repetition -> SURVIVES
+            (1, "the quick brown fox jumps over one lazy dog today"),
+            # 2: PII-bearing but otherwise clean -> survives, redacted
+            (2, "write to alice@example.com about the pending invoice now"),
+            # 3: degenerate repetition -> dropped by the repetition filter
+            (3, "spam spam spam spam spam spam spam spam spam spam"),
+            # 4/5: exact duplicates AFTER redaction (differ only in email)
+            (4, "ping bob@corp.io for the quarterly revenue numbers"),
+            (5, "ping eve@corp.io for the quarterly revenue numbers"),
+            # 6: contaminated (shares 3-shingles with the eval doc)
+            (6, "held out benchmark sentence appears verbatim here sadly"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "held out benchmark sentence appears verbatim")],
+        ["doc_id", "text"],
+    )
+
+    from deepblocker_spark.operators.textstats import redact_pii, repetition_profile
+
+    scrubbed = redact_pii(docs).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    rep = repetition_profile(scrubbed)
+    keep = scrubbed.join(
+        rep.filter(
+            (F.col("top_bigram_frac") < 0.5) & (F.col("dup_trigram_frac") < 0.5)
+        ).select("doc_id"),
+        "doc_id",
+    )
+    survivors = dedup_survivors(keep, F.sha2(F.col("text"), 256), carry=("text",))
+    # doc 4 survives (min id of the 4/5 redacted-identical pair)
+    contaminated = {
+        r.train_id
+        for r in bloom_decontamination_pairs(
+            survivors, ev, n=3, threshold=0.5
+        ).collect()
+    }
+    final = sorted(
+        r.doc_id for r in survivors.collect() if r.doc_id not in contaminated
+    )
+    assert final == [1, 2, 4]
+    # and the PII really was scrubbed before hashing: the survivor pair
+    # collapsed BECAUSE redaction removed the differing emails
+    surv = {r.doc_id: (r.text, r.dup_count) for r in survivors.collect()}
+    assert surv[4][1] == 2 and "<EMAIL>" in surv[4][0]
+    assert "<EMAIL>" in surv[2][0]
