@@ -1152,6 +1152,25 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rbo_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ranking-comparison metric: truncated+normalized RBO@5 (p=0.9)
+    # between two BM25 parameterizations over the same query set — each
+    # matched pair contributes its closed-form prefix weight once (JVM
+    # aggregate over sequence), one hash agg per query. Full value oracle.
+    from deepblocker_spark.operators.metrics import rank_biased_overlap
+    from deepblocker_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = docs.filter(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("qid"), F.substring("text", 1, 80).alias("qtext")
+    )
+    r1 = bm25_topk(qs, docs, k=5, id_col="doc_id", text_col="text")
+    r2 = bm25_topk(
+        qs, docs, k=5, k1=2.0, b=0.25, id_col="doc_id", text_col="text"
+    )
+    return rank_biased_overlap(r1, r2, k=5, p=0.9)
+
+
 def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FILTERED retrieval: partition_by="lang" scopes BM25 to same-language
     # hits with per-language corpus statistics (N/avgdl/df all per slice) —
@@ -1694,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": q_tfidf_cosine,
         "bm25_topk": q_bm25_topk,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "rbo_bm25": q_rbo_bm25,
         "nearest_name_lev": q_nearest_name_lev,
         "flagship_blocking": q_flagship_blocking,
     }
@@ -1955,9 +1975,12 @@ from base
     # bm25_topk: full BM25 re-derivation — inverted index with Lucene idf,
     # avgdl over the WHOLE collection (sum dl / N), distinct query tokens,
     # rank on the 9-rounded score with id tiebreak (parity-locked with the
-    # engine so float summation order cannot flip ranks).
+    # engine so float summation order cannot flip ranks). Parameterized on
+    # (k1, b) so the rbo_bm25 oracle can re-derive a second variant.
     _QTOKS = duckdb_tokens_sql("substr(text, 1, 80)")
-    bm25_sql = f"""
+
+    def _bm25_ranked_sql(k1: float, b: float) -> str:
+        return f"""
 with tok as (select doc_id as id, unnest({_TOKS}) as token from documents),
 tf as (select id, token, count(*)::DOUBLE as tf from tok group by id, token),
 dl as (select id, sum(tf) as dl from tf group by id),
@@ -1970,8 +1993,8 @@ dft as (select token, count(*)::DOUBLE as df from tf group by token),
 post as (
   select token, tf.id,
          ln(1.0 + (n - df + 0.5) / (df + 0.5))
-           * (tf * (1.2 + 1.0))
-           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) as part
+           * (tf * ({k1} + 1.0))
+           / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl)) as part
   from tf join dl using (id) join dft using (token) cross join stats
   where df <= 1.0 * n
 ),
@@ -1990,6 +2013,30 @@ ranked as (
   from scored
 )
 select qid, id, round(s9, 6) as bm25, rank from ranked where rank <= 5
+"""
+
+    bm25_sql = _bm25_ranked_sql(1.2, 0.75)
+
+    # rbo_bm25: rank-biased overlap (Webber TOIS'10, truncated+normalized)
+    # between the two BM25 parameterizations' top-5 — a matched pair at
+    # ranks (ra, rb) contributes sum_{d=max..k} p^(d-1)/d, summed per
+    # query, normalized by (1-p)/(1-p^k); no-overlap queries score 0.0.
+    rbo_sql = f"""
+with s1 as ({_bm25_ranked_sql(1.2, 0.75)}),
+s2 as ({_bm25_ranked_sql(2.0, 0.25)}),
+m as (
+  select s1.qid, greatest(s1.rank, s2.rank) as mm
+  from s1 join s2 on s1.qid = s2.qid and s1.id = s2.id
+),
+w as (
+  select qid, sum(pow(0.9, d - 1) / d) as wsum
+  from m, unnest(generate_series(m.mm, 5)) as t(d)
+  group by qid
+),
+qids as (select qid from s1 union select qid from s2)
+select q.qid,
+       round(coalesce((1.0 - 0.9) / (1.0 - pow(0.9, 5)) * w.wsum, 0.0), 9) as rbo
+from qids q left join w on q.qid = w.qid
 """
 
     # bm25_topk_filtered: the same BM25 re-derivation with every statistic
@@ -2851,6 +2898,7 @@ asof left join (select * from events where event_type = 'click') c
         "tfidf_cosine": tfidf_cosine_sql,
         "bm25_topk": bm25_sql,
         "bm25_topk_filtered": bm25_filtered_sql,
+        "rbo_bm25": rbo_sql,
         "nearest_name_lev": nearest_name_sql,
         "ngram_jaccard": ngram_sql,
         "prefix_jaccard": prefix_jaccard_sql,

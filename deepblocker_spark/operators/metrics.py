@@ -373,3 +373,65 @@ def blocking_key_report(
         ).alias("recall"),
         "tp", "n_golden",
     )
+
+
+def rank_biased_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    k: int,
+    p: float = 0.9,
+    qid_col: str = "qid",
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010)
+    between two top-k rankings — the ranking-comparison metric for this
+    repo's rankers (BM25 variants, LSH/IVF/PQ ANN, exact top-k): how much
+    two candidate orderings agree, weighted toward the top.
+
+    Truncated-and-normalized form: with agreement A_d = |A₁..d ∩ B₁..d|/d,
+
+        rbo@k = (1-p)/(1-p^k) · Σ_{d=1..k} p^(d-1) · A_d
+
+    so identical FULL-DEPTH rankings score exactly 1.0 for any (p, k) and
+    disjoint ones 0.0; smaller p concentrates the weight nearer rank 1.
+    Lists shorter than k are penalized by truncation even when identical
+    (agreement at depths past the list length is |list|/d — the standard
+    RBO_min behavior; pass k = the actual list depth to avoid it).
+
+    Spark shape — no per-depth loop over the data: a pair appearing at
+    ranks (ra, rb) is inside both prefixes for every depth d ≥ max(ra,rb),
+    so its total contribution is Σ_{d=max}^{k} p^(d-1)/d — computed ONCE
+    per matched pair with a JVM ``aggregate`` over ``sequence(max, k)``
+    (k terms, codegen'd), then one hash agg per query. Queries present in
+    either ranking but sharing nothing score 0.0 (never dropped).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    ra = a.select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("id"),
+        F.col(rank_col).alias("_ra"),
+    ).filter(F.col("_ra") <= k)
+    rb = b.select(
+        F.col(qid_col).alias("qid"), F.col(id_col).alias("id"),
+        F.col(rank_col).alias("_rb"),
+    ).filter(F.col("_rb") <= k)
+    m = F.greatest("_ra", "_rb")
+    pair_w = ra.join(rb, ["qid", "id"]).select(
+        "qid",
+        F.aggregate(
+            F.sequence(m, F.lit(k)),
+            F.lit(0.0),
+            lambda acc, d: acc + F.pow(F.lit(p), d - 1) / d,
+        ).alias("_w"),
+    )
+    norm = (1.0 - p) / (1.0 - p ** k)
+    qids = ra.select("qid").union(rb.select("qid")).distinct()
+    scored = pair_w.groupBy("qid").agg(
+        F.round(F.lit(norm) * F.sum("_w"), 9).alias("rbo")
+    )
+    return qids.join(scored, "qid", "left").select(
+        "qid", F.coalesce("rbo", F.lit(0.0)).alias("rbo")
+    )
