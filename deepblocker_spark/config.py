@@ -87,6 +87,12 @@ class BlockerConfig:
     # exchange payload is pq_m bytes per row.
     pq_m: int = 8
     pq_n_codes: int = 256
+    # Gate on pq_topk_join's driver collect of the PQ code table (VERDICT
+    # r4 #3): above this row count the call auto-delegates to the
+    # nothing-collects IVFADC path (pq.ivf_pq_topk / ivf_pq_topk_join) —
+    # same pattern as pairing_lsh_threshold_rows. 2M rows × (8-byte code
+    # + id) ≈ tens of MB on the driver, far under any sane driver heap.
+    pq_max_driver_code_rows: int = 2_000_000
     # Hash-directory layout for pipeline checkpoints: stages are written
     # partitioned by _part = pmod(xxhash64(id), ckpt_hash_partitions), so
     # resume reads can prune to a partition subset and the verify-stage

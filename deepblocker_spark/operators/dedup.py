@@ -417,12 +417,24 @@ def _containment_tail(
 # discipline as topk.py's f32 cache), release_decontam_caches() drops all
 _DECONTAM_CACHES: list[DataFrame] = []
 
+# Streaming-held eval frames (streaming/dedup_stream.py) live in their OWN
+# list (ADVICE r4): batch eviction must never unpersist a live stream's
+# static-side frame mid-query (Spark would recompute — correct but the
+# stream then re-evaluates the static plan every microbatch). The
+# streaming append site applies the same 2-entry eviction cap, so
+# repeated streaming calls stay bounded; at most the two most recent
+# concurrent streams keep their frames hot.
+_STREAM_DECONTAM_CACHES: list[DataFrame] = []
+
 
 def release_decontam_caches() -> None:
-    """Unpersist eval-posting frames cached by bloom_decontamination_pairs.
-    Safe any time; subsequent actions simply recompute."""
+    """Unpersist eval-posting frames cached by bloom_decontamination_pairs
+    and streaming_bloom_decontam. Safe any time; subsequent actions simply
+    recompute."""
     while _DECONTAM_CACHES:
         _DECONTAM_CACHES.pop().unpersist()
+    while _STREAM_DECONTAM_CACHES:
+        _STREAM_DECONTAM_CACHES.pop().unpersist()
 
 
 def bloom_decontamination_pairs(

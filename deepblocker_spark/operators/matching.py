@@ -114,6 +114,7 @@ def greedy_one_to_one(
     score_col: str = "score",
     max_rounds: int = 40,
     driver_threshold: int = 2_000_000,
+    n_edges_hint: int | None = None,
 ) -> DataFrame:
     """-> (a, b, score): maximal one-to-one matching — every node appears
     at most once, and no surviving input edge has both endpoints free.
@@ -131,9 +132,19 @@ def greedy_one_to_one(
         F.col(id_a).alias("a"), F.col(id_b).alias("b"),
         F.col(score_col).alias("score"),
     ).filter(F.col("a") != F.col("b"))
-    e = e.localCheckpoint()
-    if e.count() <= driver_threshold:
-        return _driver_greedy(e)
+    # ``n_edges_hint`` (VERDICT r4 #7, same pattern as pipeline.rows_hint):
+    # an approximate edge count — e.g. from a checkpoint manifest or the
+    # upstream blocker's pair count — skips the path-picking count job.
+    # The hint only picks the physical path; both paths produce the same
+    # matching, so an off-by-2x hint costs efficiency, never correctness.
+    if n_edges_hint is not None:
+        if n_edges_hint <= driver_threshold:
+            return _driver_greedy(e)
+        e = e.localCheckpoint()
+    else:
+        e = e.localCheckpoint()
+        if e.count() <= driver_threshold:
+            return _driver_greedy(e)
 
     spark = e.sparkSession
     matched: DataFrame | None = None

@@ -152,6 +152,8 @@ def pq_topk_join(
     seed: int = 1234,
     exclude_self: bool = False,
     max_broadcast_rows: int = 2_000_000,
+    max_driver_code_rows: int = 2_000_000,
+    rows_hint: int | None = None,
 ) -> DataFrame:
     """ADC top-k join: for every left row, the k highest-ADC-score right
     rows. -> (l_id, r_id, sim, rank); ``sim`` is the ADC inner-product
@@ -165,6 +167,17 @@ def pq_topk_join(
     the same bounded-memory shape as topk.exact_topk_join. Kernel per
     batch: one (batch × n_codes) LUT matmul per subspace + m fancy-index
     gathers — no (batch × chunk × dim) tensor ever materializes.
+
+    ``max_driver_code_rows`` (VERDICT r4 #3) bounds the driver collect of
+    the code table: above it the call DELEGATES to the nothing-collects
+    IVFADC path (ivf_pq_topk / ivf_pq_topk_join — same m/n_codes/seed;
+    ``codebooks`` is retrained there, cell-probing replaces the exhaustive
+    chunk scan), the same auto-gate pattern as
+    config.pairing_lsh_threshold_rows. ``rows_hint`` skips the index-side
+    probe when the caller knows the row count (e.g. from a checkpoint
+    manifest); without a hint the collect itself is LIMIT-bounded to
+    ``max_driver_code_rows + 1`` rows, so the driver never materializes an
+    unbounded index even when no hint is given.
     """
     import numpy as np
     import pandas as pd
@@ -178,6 +191,20 @@ def pq_topk_join(
 
     from deepblocker_spark.operators.topk import normalize_rows
 
+    def _delegate(n_rows: int | None) -> DataFrame:
+        if exclude_self and left is right:
+            return ivf_pq_topk(
+                right, k, id_col=r_id, emb_col=emb_col, m=m,
+                n_codes=n_codes, seed=seed, rows_hint=n_rows,
+            )
+        return ivf_pq_topk_join(
+            left, right, k, l_id=l_id, r_id=r_id, emb_col=emb_col, m=m,
+            n_codes=n_codes, seed=seed, rows_hint=n_rows,
+        )
+
+    if rows_hint is not None and rows_hint > max_driver_code_rows:
+        return _delegate(rows_hint)
+
     if codebooks is None:
         codebooks = train_pq(
             right, id_col=r_id, emb_col=emb_col, m=m, n_codes=n_codes, seed=seed
@@ -187,7 +214,12 @@ def pq_topk_join(
     books_bc = spark.sparkContext.broadcast(codebooks)
 
     codes_df = encode_pq(right, codebooks, id_col=r_id, emb_col=emb_col)
-    rows = codes_df.collect()  # m bytes + id per row, chunk-bounded below
+    # m bytes + id per row, chunk-bounded below; the LIMIT hard-bounds
+    # driver memory when no rows_hint was given — one extra row proves
+    # overflow, at which point the IVFADC delegate takes over
+    rows = codes_df.limit(max_driver_code_rows + 1).collect()
+    if len(rows) > max_driver_code_rows:
+        return _delegate(None)
     l_type = left.select(l_id).schema.fields[0].dataType
     r_type = right.select(r_id).schema.fields[0].dataType
     out_schema = StructType(

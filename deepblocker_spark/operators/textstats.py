@@ -248,7 +248,19 @@ def redact_pii(
     shuffle, partition-preserving. Patterns are applied in the declared
     order on the ORIGINAL text for counting but sequentially for
     replacement (an email's digits are already gone when digit_run runs).
+
+    Raises if the input already carries any generated column name
+    (``n_<category>`` or ``out_col``) — the ``select('*', ...)`` would
+    otherwise silently produce duplicate column names and make every
+    downstream reference ambiguous (ADVICE r4).
     """
+    generated = [f"n_{name}" for name in PII_PATTERNS] + [out_col]
+    clash = sorted(set(generated) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"redact_pii: input already has column(s) {clash}; rename or "
+            "drop them first (or pass a different out_col)"
+        )
     t = F.col(text_col)
     red = t
     counts = []

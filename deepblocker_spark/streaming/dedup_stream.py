@@ -413,7 +413,7 @@ def streaming_bloom_decontam(
     """
     from deepblocker_spark.functions.tokenizer import tokens_col
     from deepblocker_spark.operators.dedup import (
-        _DECONTAM_CACHES,
+        _STREAM_DECONTAM_CACHES,
         build_shingle_bloom,
         token_shingles,
     )
@@ -426,7 +426,12 @@ def streaming_bloom_decontam(
         .filter(F.size("_e_sh") > 0)
         .persist()
     )
-    _DECONTAM_CACHES.append(ev)
+    # streaming frames get their own capped cache list (ADVICE r4): the
+    # batch operator's eviction can't touch a live stream's frame, and
+    # repeated streaming calls can't grow unboundedly
+    while len(_STREAM_DECONTAM_CACHES) >= 2:
+        _STREAM_DECONTAM_CACHES.pop(0).unpersist()
+    _STREAM_DECONTAM_CACHES.append(ev)
     test = build_shingle_bloom(
         ev.select(F.explode("_e_sh").alias("shingle")), bits_per_item
     )

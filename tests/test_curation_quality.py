@@ -66,6 +66,22 @@ def test_redact_pii_counts_and_text(spark):
     assert got[3].redacted == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>"
 
 
+def test_redact_pii_rejects_colliding_columns(spark):
+    """ADVICE r4: a pre-existing n_email/out_col column would silently
+    duplicate in select('*', ...) — must raise instead."""
+    import pytest
+
+    base = spark.createDataFrame([(1, "x", 9)], ["doc_id", "text", "n_email"])
+    with pytest.raises(ValueError, match="n_email"):
+        redact_pii(base)
+    named = spark.createDataFrame([(1, "x", "y")], ["doc_id", "text", "redacted"])
+    with pytest.raises(ValueError, match="redacted"):
+        redact_pii(named)
+    # a different out_col sidesteps the out_col clash
+    ok = redact_pii(named.drop("redacted"), out_col="clean")
+    assert "clean" in ok.columns
+
+
 def test_curation_pipeline_composition(spark):
     """End-to-end curation chain — the canonical pre-training pipeline out
     of this repo's own operators, each stage's output feeding the next:

@@ -71,6 +71,27 @@ def test_greedy_equals_sequential_oracle_driver_path(spark):
     assert {tuple(r) for r in got.collect()} == _sequential_greedy(rows)
 
 
+def test_greedy_hint_skips_count_job(spark, monkeypatch):
+    """VERDICT r4 #7: with n_edges_hint the path-picking count job never
+    runs — proven by making DataFrame.count raise. Both hint directions
+    must still produce the sequential-oracle matching."""
+    from pyspark.sql import DataFrame
+
+    rows = _random_rows(9)
+    want = _sequential_greedy(rows)
+
+    def _boom(self):
+        raise AssertionError("count() must not run when n_edges_hint is set")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    small = greedy_one_to_one(_edges_df(spark, rows), n_edges_hint=len(rows))
+    assert {tuple(r) for r in small.collect()} == want
+    big = greedy_one_to_one(
+        _edges_df(spark, rows), n_edges_hint=len(rows), driver_threshold=0
+    )
+    assert {tuple(r) for r in big.collect()} == want
+
+
 def test_greedy_equals_sequential_oracle_distributed_path(spark):
     rows = _random_rows(11)
     got = greedy_one_to_one(_edges_df(spark, rows), driver_threshold=0)

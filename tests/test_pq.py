@@ -85,6 +85,40 @@ def test_pq_topk_recall_vs_exact(spark, vec_df):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_l.values())
 
 
+def test_pq_driver_collect_gate_delegates(spark, vec_df):
+    """VERDICT r4 #3: above max_driver_code_rows, pq_topk(_join) must
+    DELEGATE to the nothing-collects IVFADC path instead of collecting
+    the code table to the driver — bit-identical to calling ivf_pq_topk
+    directly (same seeds), via both the rows_hint short-circuit and the
+    hint-less LIMIT probe."""
+    from deepblocker_spark.operators.pq import ivf_pq_topk, ivf_pq_topk_join
+
+    direct = {
+        (r.l_id, r.r_id, r.rank)
+        for r in ivf_pq_topk(vec_df, k=5, m=8, n_codes=64).collect()
+    }
+    # hint-less path: the LIMIT probe detects overflow
+    probed = pq_topk(vec_df, k=5, m=8, n_codes=64, max_driver_code_rows=10)
+    assert {(r.l_id, r.r_id, r.rank) for r in probed.collect()} == direct
+    # hinted path: no probe job at all
+    hinted = pq_topk(
+        vec_df, k=5, m=8, n_codes=64, max_driver_code_rows=10,
+        rows_hint=vec_df.count(),
+    )
+    assert {(r.l_id, r.r_id, r.rank) for r in hinted.collect()} == direct
+
+    left = vec_df.filter("vec_id % 2 = 0")
+    right = vec_df.filter("vec_id % 2 = 1")
+    d_direct = {
+        (r.l_id, r.r_id, r.rank)
+        for r in ivf_pq_topk_join(left, right, k=3, m=8, n_codes=64).collect()
+    }
+    d_gated = pq_topk_join(
+        left, right, k=3, m=8, n_codes=64, max_driver_code_rows=5
+    )
+    assert {(r.l_id, r.r_id, r.rank) for r in d_gated.collect()} == d_direct
+
+
 def test_pq_topk_dyadic_and_chunking(spark, vec_df):
     left = vec_df.filter("vec_id % 2 = 0")
     right = vec_df.filter("vec_id % 2 = 1")

@@ -331,3 +331,36 @@ def test_streaming_bloom_decontam_parity_with_batch(spark, tmp_path):
     # pair is emitted exactly once despite multi-shingle joins
     assert all(t != 4 for t, _ in stream)
     assert len(got) == len(stream)
+
+
+def test_stream_decontam_cache_isolated_from_batch_eviction(spark):
+    """ADVICE r4: streaming-held eval frames live in their own capped
+    cache list — batch bloom_decontamination_pairs eviction must never
+    unpersist them, and release_decontam_caches drops both lists."""
+    from deepblocker_spark.operators.dedup import (
+        _DECONTAM_CACHES,
+        _STREAM_DECONTAM_CACHES,
+        bloom_decontamination_pairs,
+        release_decontam_caches,
+    )
+
+    release_decontam_caches()
+    sentinel = spark.range(3).persist()
+    sentinel.count()
+    _STREAM_DECONTAM_CACHES.append(sentinel)
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "alpha beta gamma delta")], ["doc_id", "text"])
+    # three batch calls overflow the batch list's 2-entry cap -> eviction
+    for _ in range(3):
+        bloom_decontamination_pairs(train, ev, n=3).count()
+    assert sentinel in _STREAM_DECONTAM_CACHES
+    assert sentinel.is_cached, "batch eviction unpersisted a streaming frame"
+    assert len(_DECONTAM_CACHES) <= 2
+
+    release_decontam_caches()
+    assert not _STREAM_DECONTAM_CACHES and not _DECONTAM_CACHES
+    assert not sentinel.is_cached

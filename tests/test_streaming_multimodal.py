@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import importlib.util
 
 import pytest
 
@@ -106,6 +107,10 @@ def test_media_feature_extraction_deterministic(spark):
 
 
 def test_real_decoder_is_explicit_stub():
+    from deepblocker_spark.operators.multimodal import _pil
+
+    if _pil() is not None:
+        pytest.skip("Pillow present — real path covered by the _pillow tests")
     with pytest.raises(NotImplementedError, match="codecs"):
         decode_media(b"xx", "image", decoder="real")
 
@@ -131,6 +136,58 @@ def test_resize_media_plumbing(spark):
     # non-images untouched
     assert bytes(out.loc["m4", "data"]) == b"ftypfakevideo"
     assert out.loc["m4", "width"] == 1920
-    # real backend is an explicit stub
-    with pytest.raises(NotImplementedError, match="codecs"):
-        resize_media(df, 32, 16, decoder="real")
+    # real backend is an explicit stub when Pillow is absent
+    from deepblocker_spark.operators.multimodal import _pil
+
+    if _pil() is None:
+        with pytest.raises(NotImplementedError, match="codecs"):
+            resize_media(df, 32, 16, decoder="real")
+
+
+def _png_bytes(w=12, h=9, color=(200, 30, 60)):
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (w, h), color)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("PIL") is None,
+    reason="Pillow not installed — real decoder path is env-gated",
+)
+def test_real_decoder_pillow(spark):
+    """VERDICT r4 #6: the env-gated REAL image path through the identical
+    Arrow plumbing the fake decoder uses — a generated PNG decodes to the
+    same _FEATURE_DIM shape, deterministically, and resize_media emits
+    exact raw-RGB payloads."""
+    from deepblocker_spark.operators.multimodal import (
+        _FEATURE_DIM,
+        resize_media,
+    )
+
+    png = _png_bytes()
+    v1 = decode_media(png, "image", decoder="real")
+    v2 = decode_media(png, "image", decoder="real")
+    assert v1.shape == (_FEATURE_DIM,)
+    assert list(v1) == list(v2)
+    assert all(0.0 <= x <= 1.0 for x in v1)
+
+    rows = [
+        ("p1", "image", "image/png", png, 12, 9, None),
+        ("p2", "image", "image/png", _png_bytes(color=(5, 5, 5)), 12, 9, None),
+        ("v1", "video", "video/mp4", b"ftypfakevideo", 640, 480, 2_000),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_media_features(df, decoder="real").toPandas().set_index("media_id")
+    assert len(out.loc["p1", "media_embedding"]) == _FEATURE_DIM
+    assert list(out.loc["p1", "media_embedding"]) != list(out.loc["p2", "media_embedding"])
+
+    imgs = df.filter("modality = 'image'")
+    rs = resize_media(imgs, 6, 4, decoder="real").toPandas().set_index("media_id")
+    for mid in ("p1", "p2"):
+        assert len(rs.loc[mid, "data"]) == 6 * 4 * 3
+        assert (rs.loc[mid, "width"], rs.loc[mid, "height"]) == (6, 4)
