@@ -185,6 +185,24 @@ def main() -> None:
     )
     qs["ivf_topk"] = lambda *_: ivf_plan_df
 
+    # PQ driver-collect gate (VERDICT r4 #3): above max_driver_code_rows
+    # pq_topk must DELEGATE to the nothing-collects IVFADC path — the plan
+    # is then the two-exchange grouped-map shape (cell, l_id), not the
+    # exhaustive chunked-broadcast shape whose per-query merge is a Window
+    # over a union (and whose build would have collected the code table).
+    from deepblocker_spark.operators.pq import pq_topk
+
+    pq_gate_df = pq_topk(emb_tbl, k=5, m=8, n_codes=64, max_driver_code_rows=10)
+    audits["pq_gate_delegates"] = (
+        ["MapInPandas", "hashpartitioning(cell", "hashpartitioning(l_id",
+         "!Window", "!SortMergeJoin", "!BroadcastHashJoin",
+         "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
+        "above the max_driver_code_rows gate the plan is IVFADC: two hash "
+        "exchanges (cell, then l_id), grouped-map kernels, no Window "
+        "merge, no joins — and no driver collect of the full code table",
+    )
+    qs["pq_gate_delegates"] = lambda *_: pq_gate_df
+
     # Meta-blocking: the 1-row scalars (block total, mean weight) must join
     # as broadcast nested-loop crosses, never a CartesianProduct; the shared
     # filtered/weighted frames are persisted (InMemoryTableScan) so the
