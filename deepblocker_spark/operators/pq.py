@@ -573,10 +573,14 @@ class PQVectorPairing:
 
     def __init__(self, k: int = 50, n_cells: int | None = 16, nprobe: int = 4,
                  m: int = 8, n_codes: int = 256, seed: int = 1234,
-                 max_cell_rows: int = 5_000):
+                 max_cell_rows: int = 5_000, rows_hint: int | None = None):
         self.k, self.n_cells, self.nprobe = k, n_cells, nprobe
         self.m, self.n_codes, self.seed = m, n_codes, seed
         self.max_cell_rows = max_cell_rows
+        # index-side row count (e.g. from a checkpoint manifest) — skips
+        # the auto-n_cells sizing count job, same as the pipeline's
+        # rows_hint discipline
+        self.rows_hint = rows_hint
         self.exclude_self = True  # self mode never emits self-pairs
 
     def index(self, right: DataFrame, r_id: str = "id", emb_col: str = "embedding"):
@@ -593,7 +597,7 @@ class PQVectorPairing:
             raise ValueError(f"unknown query mode: {mode!r}")
         kw = dict(n_cells=self.n_cells, nprobe=self.nprobe, m=self.m,
                   n_codes=self.n_codes, seed=self.seed,
-                  max_cell_rows=self.max_cell_rows)
+                  max_cell_rows=self.max_cell_rows, rows_hint=self.rows_hint)
         if mode == "self" or (mode == "auto" and left is self._right):
             return ivf_pq_topk(
                 self._right, k=self.k, id_col=self._r_id,
