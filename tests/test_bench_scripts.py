@@ -43,3 +43,22 @@ def test_bandwidth_script_runs_minimal():
     )
     assert proc.returncode == 0, proc.stderr[-500:]
     assert float(proc.stdout.strip().splitlines()[-1]) > 0
+
+
+def test_rotate_window_planner_consistency():
+    """The verification-window planner must parse the live registration
+    order, agree with the CORRECTNESS artifacts on never-green queries,
+    and keep every never-green query inside the suggested window."""
+    sys.path.insert(0, "/root/repo/tools")
+    import rotate_window as rw
+
+    names = rw.registration_order()
+    assert len(names) == len(set(names)) >= 80
+    hist = rw.history()
+    order = rw.suggest(names, hist)
+    assert sorted(order) == sorted(names)
+    never = [
+        n for n in names
+        if not any(s == "green" for s in hist.get(n, {}).values())
+    ]
+    assert all(order.index(n) < rw.WINDOW for n in never)
