@@ -41,6 +41,18 @@ def frame_hash(pdf: pd.DataFrame) -> str:
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
+def driver_canon_ok(pdf: pd.DataFrame) -> bool:
+    """Emulate the DRIVER's canonicalization (pandas sort_values over all
+    columns): it crashes on unhashable/unsortable cells (lists, arrays) —
+    the round-4 ensemble_blocking red row. A query can hash fine here yet
+    red-row in the driver, so flag it locally."""
+    try:
+        pdf.sort_values(by=sorted(pdf.columns), ignore_index=True)
+        return True
+    except Exception:
+        return False
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -80,7 +92,11 @@ def main():
         ok_cols = sorted(spdf.columns) == sorted(opdf.columns)
         h1, h2 = frame_hash(spdf), frame_hash(opdf)
         ok_hash = h1 == h2
-        status = "OK  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
+        ok_canon = driver_canon_ok(spdf)
+        if not ok_canon:
+            print(f"FAIL {name}: driver canonicalizer would crash "
+                  "(unsortable column, e.g. array) — flatten it")
+        status = "OK  " if (ok_rows and ok_cols and ok_hash and ok_canon) else "FAIL"
         if status == "FAIL":
             failures += 1
         print(
