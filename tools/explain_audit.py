@@ -502,6 +502,51 @@ def main() -> None:
     )
     qs["interval_join_events"] = m.queries()["interval_join_events"]
 
+    # Exact-substring dedup (round 5): winnowing selection must be pure
+    # codegen expression work (array_min over slices of a MATERIALIZED
+    # gram array — a single nested expression would re-inline the gram
+    # transform per window position), the fingerprint self-join a hash
+    # equi-join feeding a partial+final count agg, and the scan pruned to
+    # (doc_id, text). Never a cartesian.
+    audits["substring_dup_pairs"] = (
+        ["array_min(slice(", "Generate", "HashAggregate", "partial_count",
+         "!CartesianProduct", "!BroadcastNestedLoopJoin",
+         "ReadSchema: struct<doc_id:bigint,text:string>"],
+        "winnowing is codegen string algebra (transform/slice/array_min) "
+        "exploded into an inverted-index hash self-join on the fingerprint "
+        "+ map-side partial count — the minhash-band-join shape; scan "
+        "pruned to (doc_id, text)",
+    )
+    qs["substring_dup_pairs"] = m.queries()["substring_dup_pairs"]
+
+    # SemDeDup (round 5): both grouped stages are python-sort grouped maps
+    # (assignment MapInPandas, then the per-(cell, salt) verdict kernel);
+    # the verdict frame is persisted so the three report consumers (two
+    # pair endpoints + totals) reuse ONE execution — exactly one
+    # hashpartitioning(id, cell) exchange in the whole plan; the 1-row
+    # aggregate cross is a broadcast nested loop, never a CartesianProduct.
+    semdedup_df = m.queries()["semantic_dedup"](spark, SF)
+    semdedup_plan = plan_of(semdedup_df)
+    audits["semantic_dedup"] = (
+        ["MapInPandas", "hashpartitioning(cell",
+         "InMemoryTableScan", "!CartesianProduct", "!SortMergeJoin",
+         "ReadSchema: struct<vec_id:bigint,embedding:array<float>>"],
+        "cell-scoped verdict kernel over grid-salted grouped maps; "
+        "persisted verdict frame consumed 3x via InMemoryTableScan "
+        f"(verdict exchange appears "
+        f"{semdedup_plan.count('hashpartitioning(id')}x — must be 1); "
+        "scans pruned to (vec_id, embedding)",
+    )
+    qs["semantic_dedup"] = lambda *_: semdedup_df
+    if semdedup_plan.count("hashpartitioning(id") != 1:
+        # inject an unsatisfiable needle so the audit goes red when the
+        # verdict subtree is executed more than once
+        audits["semantic_dedup"] = (
+            audits["semantic_dedup"][0]
+            + ["SEMDEDUP_VERDICT_EXCHANGE_MUST_BE_SINGLE"],
+            audits["semantic_dedup"][1],
+        )
+
     report = ["# PLANS — physical-plan audit of headline queries",
               "",
               "Generated by tools/explain_audit.py; re-run after plan-affecting",
