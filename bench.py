@@ -87,6 +87,13 @@ BENCH_QUERIES = [
     # non-degenerate on this data, unlike the token-vocab-bound
     # minhash/meta-blocking pair queries excluded above
     "sorted_neighborhood",
+    # round-5 training-data dedup additions (no BASELINE.md rows — engine
+    # reference values recorded there instead): exhaustive char-level
+    # winnowing dedup (the heaviest per-byte query in the suite, and
+    # shuffle-free until the fingerprint join by design) and cell-scoped
+    # semantic dedup with its exact-coverage audit
+    "substring_dup_pairs",
+    "semantic_dedup",
     # temporal joins over the 100k-row events table (timestamps, immune to
     # the vocab pathology): as-of = union + ONE window exchange; interval =
     # bin explode + hash equi-join. canopy_blocking stays correctness-only
@@ -111,11 +118,17 @@ def _release_ann_caches() -> None:
     from deepblocker_spark.operators.metablocking import (
         release_metablocking_caches,
     )
+    from deepblocker_spark.operators.semdedup import release_verdict_caches
+    from deepblocker_spark.operators.substring_dedup import (
+        release_fingerprint_caches,
+    )
 
     release_signature_caches()
     release_assignment_caches()
     release_rank_caches()
     release_metablocking_caches()
+    release_fingerprint_caches()
+    release_verdict_caches()
 
 
 def _completed_stages(spark) -> list[dict]:

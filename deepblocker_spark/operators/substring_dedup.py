@@ -91,6 +91,19 @@ def hot_fingerprints(
     )
 
 
+# Persisted fingerprint frames awaiting release — same lifecycle as
+# ann._ASSIGN_CACHES: consumed by both sides of the self-join (and the
+# purge agg), released by the caller after its action; ContextCleaner is
+# the GC backstop.
+_FP_CACHES: list[DataFrame] = []
+
+
+def release_fingerprint_caches() -> None:
+    """Unpersist fingerprint frames cached by exact_substring_pairs."""
+    while _FP_CACHES:
+        _FP_CACHES.pop().unpersist()
+
+
 def exact_substring_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -113,8 +126,17 @@ def exact_substring_pairs(
     ``max_gram_df``: purge fingerprints selected by more than this many
     docs (license headers / generated boilerplate) before the self-join,
     bounding its worst term at max_gram_df^2 per fingerprint. None = no
-    purge (exact semantics; the right setting for oracle-checked runs)."""
+    purge (exact semantics; the right setting for oracle-checked runs).
+
+    The fingerprint frame is persisted: the selection pass (O(chars * w)
+    string mins — by far the dominant cost) would otherwise run once per
+    join side (2x, or 4x with the purge's frequency agg + anti-join).
+    Release with ``release_fingerprint_caches`` after the action."""
+    from pyspark import StorageLevel
+
     fp = winnowed_fingerprints(df, id_col, text_col, gram_len, window)
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    _FP_CACHES.append(fp)
     if max_gram_df is not None:
         hot = (
             fp.groupBy("gram")
