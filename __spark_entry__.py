@@ -1682,6 +1682,26 @@ def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substring_pairs(docs, gram_len=25, window=5)
 
 
+def q_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # decontamination by long EXACT span (Lee et al. ACL'22 leakage
+    # regime): train docs (doc_id % 10 != 7) sharing a winnowing
+    # fingerprint with the held-out eval split (doc_id % 10 = 7) — the
+    # dyadic variant of substring_dup_pairs, same deterministic string
+    # algebra, so the oracle is the full value kind. The eval side
+    # broadcasts; the training corpus never self-joins or shuffles.
+    from deepblocker_spark.operators.substring_dedup import (
+        exact_substring_pairs_dyadic,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_substring_pairs_dyadic(
+        docs.filter(F.col("doc_id") % 10 != 7),
+        docs.filter(F.col("doc_id") % 10 == 7),
+        gram_len=25,
+        window=5,
+    )
+
+
 def _semdedup_twin_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings + a deterministic near-identical twin (scale 1.001 +
     0.0005*(i%7) additive, cos ~0.9999) for every vec_id % 5 == 0 row —
@@ -1748,10 +1768,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "rbo_bm25": q_rbo_bm25,
-        # --- 18-19: new in round 5 (never verified yet) ---
+        # --- 18-20: new in round 5 (never verified yet) ---
         "substring_dup_pairs": q_substring_dup_pairs,
+        "substring_decontam": q_substring_decontam,
         "semantic_dedup": q_semantic_dedup,
-        # --- 20-39: last green round 3 ---
+        # --- 21-40: last green round 3 ---
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
         "mktsegment_orders": q_mktsegment_orders,
@@ -1772,9 +1793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": q_tfidf_cosine,
         "nearest_name_lev": q_nearest_name_lev,
         "flagship_blocking": q_flagship_blocking,
-        # --- 40-50: green only in round 4 (re-confirm under round-5 code;
-        #     canopy_pairs/cluster_eval rotate to the tail to make room for
-        #     the two new round-5 queries — both green r4) ---
+        # --- 41-50: green only in round 4 (re-confirm under round-5 code;
+        #     canopy_pairs/cluster_eval/dedup_survivors rotate to the tail
+        #     to make room for the three new round-5 queries — all green
+        #     r4) ---
         "prefix_jaccard": q_prefix_jaccard,
         "prefix_cosine": q_prefix_cosine,
         "key_blocking": q_key_blocking,
@@ -1785,9 +1807,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_cosine_dyadic": q_topk_cosine_dyadic,
         "minhash_pairs_dyadic": q_minhash_pairs_dyadic,
         "lsh_topk_filtered": q_lsh_topk_filtered,
-        "dedup_survivors": q_dedup_survivors,
-        # --- 51-88: green-r4 overflow + multi-round veterans (outside
+        # --- 51-89: green-r4 overflow + multi-round veterans (outside
         #     the window) ---
+        "dedup_survivors": q_dedup_survivors,
         "canopy_pairs": q_canopy_pairs,
         "cluster_eval": q_cluster_eval,
         "preprocess_merge": q_preprocess_merge,
@@ -3500,6 +3522,29 @@ with docs as (
 )
 select a.doc_id as a, b.doc_id as b, count(*)::BIGINT as n_shared
 from sel a join sel b on a.gram = b.gram and a.doc_id < b.doc_id
+group by 1, 2
+""",
+        # substring_decontam: full value oracle — the dyadic winnowing join
+        # (train doc_id % 10 != 7 vs eval % 10 = 7), same deterministic
+        # selection algebra as substring_dup_pairs.
+        "substring_decontam": """
+with docs as (
+  select doc_id, text from documents where length(text) >= 29
+), grams as (
+  select doc_id,
+         list_transform(range(1, length(text) - 25 + 2),
+                        i -> substring(text, i::int, 25)) as g
+  from docs
+), sel as (
+  select doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, len(g) - 5 + 2),
+           i -> list_aggregate(g[i:i+4], 'min')))) as gram
+  from grams
+)
+select t.doc_id as l_id, e.doc_id as r_id, count(*)::BIGINT as n_shared
+from (select * from sel where doc_id % 10 != 7) t
+join (select * from sel where doc_id % 10 = 7) e on t.gram = e.gram
 group by 1, 2
 """,
         # semantic_dedup: derived-property oracle (lsh/ivf/pq mold — the

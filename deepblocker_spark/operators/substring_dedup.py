@@ -153,3 +153,46 @@ def exact_substring_pairs(
         .groupBy("a", "b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+def exact_substring_pairs_dyadic(
+    left: DataFrame,
+    right: DataFrame,
+    l_id: str = "doc_id",
+    r_id: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 25,
+    window: int = 5,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """-> (l_id, r_id, n_shared): cross-corpus exact-substring candidates —
+    the decontamination shape of the winnowing join (Lee et al. ACL'22
+    report train/eval leakage as long exact spans; this finds every
+    train-eval pair sharing a span >= gram_len + window - 1 chars, with
+    zero false positives, without the two corpora ever self-joining).
+
+    Scale shape: the eval side is typically tiny next to the training
+    corpus — its fingerprint set broadcasts, so the training corpus is
+    ONE scan + fingerprint projection with no shuffle at all (Catalyst
+    picks the broadcast automatically under the size threshold; at equal
+    sizes the join degrades to the banded hash join, same as the self
+    variant). ``max_gram_df`` purges boilerplate fingerprints by their
+    JOINT document frequency, mirroring key_blocking's dyadic purge."""
+    lf = winnowed_fingerprints(left, l_id, text_col, gram_len, window)
+    rf = winnowed_fingerprints(right, r_id, text_col, gram_len, window)
+    if max_gram_df is not None:
+        both = lf.select("gram").unionAll(rf.select("gram"))
+        hot = (
+            both.groupBy("gram")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("gram")
+        )
+        lf = lf.join(F.broadcast(hot), "gram", "left_anti")
+        rf = rf.join(F.broadcast(hot), "gram", "left_anti")
+    return (
+        lf.select(F.col("id").alias("l_id"), "gram")
+        .join(rf.select(F.col("id").alias("r_id"), "gram"), "gram")
+        .groupBy("l_id", "r_id")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

@@ -17,6 +17,7 @@ from deepblocker_spark.operators.semdedup import (
 )
 from deepblocker_spark.operators.substring_dedup import (
     exact_substring_pairs,
+    exact_substring_pairs_dyadic,
     hot_fingerprints,
     winnowed_fingerprints,
 )
@@ -98,6 +99,47 @@ def test_hot_fingerprint_purge(spark):
     assert all(a >= 100 for a, _ in got)  # every boilerplate-only pair gone
     hot = hot_fingerprints(df, gram_len=L, window=W, max_gram_df=5)
     assert hot.count() > 0 and hot.agg(F.min("doc_freq")).first()[0] > 5
+
+
+def test_dyadic_matches_self_join_across_sides(spark):
+    # cross-corpus pairs == the cross-side subset of the unioned self-join
+    rng = np.random.Generator(np.random.PCG64(17))
+    span = _rand_text(rng, 2 * L)
+    train = [(i, _rand_text(rng, 20) + (span if i % 3 == 0 else _rand_text(rng, 2 * L)) + _rand_text(rng, 20)) for i in range(20)]
+    evals = [(1000 + i, (span if i % 2 == 0 else _rand_text(rng, 2 * L)) + _rand_text(rng, 15)) for i in range(8)]
+    tdf = spark.createDataFrame(train, "doc_id bigint, text string")
+    edf = spark.createDataFrame(evals, "doc_id bigint, text string")
+    dy = {
+        (r.l_id, r.r_id): r.n_shared
+        for r in exact_substring_pairs_dyadic(tdf, edf, gram_len=L, window=W).collect()
+    }
+    both = tdf.unionByName(edf)
+    self_cross = {
+        (r.a, r.b): r.n_shared
+        for r in exact_substring_pairs(both, gram_len=L, window=W).collect()
+        if r.a < 1000 <= r.b
+    }
+    assert dy == self_cross
+    assert dy  # the planted span guarantees cross pairs exist
+
+
+def test_dyadic_purge_uses_joint_frequency(spark):
+    # a span in EVERY doc of both sides is purged at joint df; a rare
+    # cross span survives
+    rng = np.random.Generator(np.random.PCG64(19))
+    boiler = _rand_text(rng, 2 * L)
+    rare = _rand_text(rng, L + W - 1)
+    train = [(i, boiler + _rand_text(rng, 20)) for i in range(6)]
+    train.append((99, boiler + rare))
+    evals = [(1000 + i, _rand_text(rng, 18) + boiler) for i in range(4)]
+    evals.append((1099, rare + _rand_text(rng, 18)))
+    tdf = spark.createDataFrame(train, "doc_id bigint, text string")
+    edf = spark.createDataFrame(evals, "doc_id bigint, text string")
+    purged = exact_substring_pairs_dyadic(
+        tdf, edf, gram_len=L, window=W, max_gram_df=8
+    )
+    got = {(r.l_id, r.r_id) for r in purged.collect()}
+    assert got == {(99, 1099)}
 
 
 def _twin_table(spark, n=120, dim=16, dup_every=4, seed=3):

@@ -519,6 +519,20 @@ def main() -> None:
     )
     qs["substring_dup_pairs"] = m.queries()["substring_dup_pairs"]
 
+    # Dyadic winnowing decontamination (round 5): the (tiny) eval-side
+    # fingerprint set must BROADCAST so the training corpus never
+    # shuffles — a BroadcastHashJoin on the fingerprint, never a sort-merge
+    # or cartesian; selection stays the same codegen string algebra.
+    audits["substring_decontam"] = (
+        ["BroadcastHashJoin", "array_min(slice(", "HashAggregate",
+         "!CartesianProduct", "!SortMergeJoin",
+         "ReadSchema: struct<doc_id:bigint,text:string>"],
+        "eval fingerprints broadcast; train side is scan -> winnowing "
+        "projection -> broadcast-join probe -> partial count, no shuffle "
+        "of the corpus before the final pair agg",
+    )
+    qs["substring_decontam"] = m.queries()["substring_decontam"]
+
     # SemDeDup (round 5): both grouped stages are python-sort grouped maps
     # (assignment MapInPandas, then the per-(cell, salt) verdict kernel);
     # the verdict frame is persisted so the three report consumers (two
