@@ -35,15 +35,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def winnowed_fingerprints(
+def winnowed_fingerprint_arrays(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     gram_len: int = 25,
     window: int = 5,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """-> (id, gram): one row per selected winnowing fingerprint per
-    document — codegen end to end, no Python.
+    """-> (id, *extra_cols, grams array<string>): each document's distinct
+    selected winnowing fingerprints as ONE array column — codegen end to
+    end, no Python, stream-legal (pure per-row projection).
 
     Grams are the ``gram_len``-char substrings at every offset; the
     selected set is { min(grams[i .. i+window-1]) : every window start i },
@@ -52,24 +54,52 @@ def winnowed_fingerprints(
     the gram-array lambda into every window position (Catalyst does not
     CSE across lambda bodies), turning O(n*w) selection into O(n^2*L)
     recomputation per row. Documents shorter than gram_len + window - 1
-    chars yield no fingerprints (they cannot contain a full gram-window;
-    sequence() on a negative span would DESCEND, same guard as
-    dedup.token_shingles)."""
+    chars are dropped — and BOTH expressions carry their own short-doc
+    ``when`` guard rather than relying on the filter: Catalyst's
+    InferFiltersFromGenerate clones the downstream explode's
+    ``size(...) > 0`` predicate into the source Filter, where the inlined
+    selection can evaluate on unfiltered rows — there sequence() on a
+    negative span DESCENDS and slice(_, 0, w) throws (same hazard class
+    as dedup.token_shingles)."""
     text = F.col(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(text) - gram_len + 1),
-        lambda i: text.substr(i, F.lit(gram_len)),
-    )
-    staged = df.filter(F.length(text) >= gram_len + window - 1).select(
-        F.col(id_col).alias("id"), grams.alias("_g")
-    )
-    selected = F.array_distinct(
+    empty = F.array().cast("array<string>")
+    grams = F.when(
+        F.length(text) >= gram_len + window - 1,
         F.transform(
-            F.sequence(F.lit(1), F.size("_g") - window + 1),
-            lambda i: F.array_min(F.slice(F.col("_g"), i, window)),
-        )
+            F.sequence(F.lit(1), F.length(text) - gram_len + 1),
+            lambda i: text.substr(i, F.lit(gram_len)),
+        ),
+    ).otherwise(empty)
+    staged = df.filter(F.length(text) >= gram_len + window - 1).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        grams.alias("_g"),
     )
-    return staged.select("id", F.explode(selected).alias("gram"))
+    selected = F.when(
+        F.size("_g") >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_g") - window + 1),
+                lambda i: F.array_min(F.slice(F.col("_g"), i, window)),
+            )
+        ),
+    ).otherwise(empty)
+    return staged.select(
+        "id", *[F.col(c) for c in extra_cols], selected.alias("grams")
+    )
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_len: int = 25,
+    window: int = 5,
+) -> DataFrame:
+    """-> (id, gram): one row per selected winnowing fingerprint per
+    document (the exploded form of ``winnowed_fingerprint_arrays``)."""
+    arrays = winnowed_fingerprint_arrays(df, id_col, text_col, gram_len, window)
+    return arrays.select("id", F.explode("grams").alias("gram"))
 
 
 def hot_fingerprints(

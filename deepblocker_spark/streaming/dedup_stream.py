@@ -461,3 +461,72 @@ def streaming_bloom_decontam(
     return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["train_id", "eval_id"]
     )
+
+
+def streaming_substring_decontam(
+    stream: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    gram_len: int = 25,
+    window: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Continuous-ingest EXACT-SPAN decontamination: documents arriving on
+    a stream are checked against a static eval corpus for shared winnowing
+    fingerprints (= shared exact substrings of >= gram_len chars,
+    guaranteed detection at >= gram_len + window - 1; see
+    operators/substring_dedup.py) and emitted as
+    (train_id, eval_id, n_shared, ts) — the streaming form of
+    :func:`~deepblocker_spark.operators.substring_dedup.exact_substring_pairs_dyadic`.
+
+    Stream-legal the same way streaming_bloom_decontam is — NO streaming
+    aggregation anywhere:
+
+      * fingerprint selection is a pure per-row codegen projection
+        (``winnowed_fingerprint_arrays``), so it runs on the stream as-is;
+      * each arriving doc joins the persisted eval fingerprint postings on
+        ONE exploded gram (stream-static equi-join, broadcast-sized);
+      * ``n_shared`` is ``array_intersect`` of the two docs' CARRIED
+        fingerprint arrays — a row-level expression, no stateful count;
+        multi-fingerprint join duplicates collapse via
+        ``dropDuplicatesWithinWatermark`` on the pair key (the only state).
+
+    The eval side is persisted with the streaming cache discipline
+    (capped list, isolated from batch eviction — ADVICE r4); release via
+    ``release_decontam_caches()``."""
+    from deepblocker_spark.operators.dedup import _STREAM_DECONTAM_CACHES
+    from deepblocker_spark.operators.substring_dedup import (
+        winnowed_fingerprint_arrays,
+    )
+
+    ev = (
+        winnowed_fingerprint_arrays(eval_df, id_col, text_col, gram_len, window)
+        .select(F.col("id").alias("eval_id"), F.col("grams").alias("_e_fp"))
+        .persist()
+    )
+    while len(_STREAM_DECONTAM_CACHES) >= 2:
+        _STREAM_DECONTAM_CACHES.pop(0).unpersist()
+    _STREAM_DECONTAM_CACHES.append(ev)
+    e_post = ev.select("eval_id", "_e_fp", F.explode("_e_fp").alias("gram"))
+
+    s = winnowed_fingerprint_arrays(
+        stream, id_col, text_col, gram_len, window, extra_cols=(ts_col,)
+    ).select(
+        F.col("id").alias("train_id"),
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        F.col("grams").alias("_t_fp"),
+    )
+    cand = s.select(
+        "train_id", ts_col, "_t_fp", F.explode("_t_fp").alias("gram")
+    ).join(e_post, "gram")
+    scored = cand.select(
+        "train_id",
+        "eval_id",
+        F.size(F.array_intersect("_t_fp", "_e_fp")).cast("bigint").alias("n_shared"),
+        ts_col,
+    )
+    return scored.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["train_id", "eval_id"]
+    )

@@ -142,6 +142,60 @@ def test_dyadic_purge_uses_joint_frequency(spark):
     assert got == {(99, 1099)}
 
 
+def test_streaming_substring_decontam_parity_with_batch(spark, tmp_path):
+    """streaming<->batch parity: the same train/eval fixture through
+    streaming_substring_decontam must emit exactly the batch
+    exact_substring_pairs_dyadic rows (same n_shared; the stream adds only
+    ts and the watermark pair-dedup)."""
+    from deepblocker_spark.streaming.dedup_stream import (
+        streaming_substring_decontam,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(23))
+    span_a, span_b = _rand_text(rng, 2 * L), _rand_text(rng, 2 * L)
+    train_rows = [
+        (1, span_a + _rand_text(rng, 15), "2024-01-01T10:00:00"),
+        (2, _rand_text(rng, 14) + span_a + span_b, "2024-01-01T10:00:01"),
+        (3, _rand_text(rng, 60), "2024-01-01T10:00:02"),  # clean
+        (4, span_b + _rand_text(rng, 11), "2024-01-01T10:00:03"),
+    ]
+    eval_rows = [(100, _rand_text(rng, 9) + span_a), (101, span_b + _rand_text(rng, 13))]
+    train = spark.createDataFrame(
+        [(i, t) for i, t, _ in train_rows], "doc_id bigint, text string"
+    )
+    ev = spark.createDataFrame(eval_rows, "doc_id bigint, text string")
+    batch = {
+        (r.l_id, r.r_id): r.n_shared
+        for r in exact_substring_pairs_dyadic(
+            train, ev, gram_len=L, window=W
+        ).collect()
+    }
+    assert batch  # the planted spans really leak
+
+    sdf = spark.createDataFrame(train_rows, "doc_id bigint, text string, ts string")
+    in_path = str(tmp_path / "ss_in")
+    out_path = str(tmp_path / "ss_out")
+    sdf.coalesce(1).write.parquet(in_path)
+    q = (
+        streaming_substring_decontam(
+            spark.readStream.schema(sdf.schema).parquet(in_path), ev,
+            gram_len=L, window=W,
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_path)
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_path).toPandas()
+    stream = {(r.train_id, r.eval_id): r.n_shared for r in got.itertuples()}
+    assert stream == batch
+    assert all(t != 3 for t, _ in stream)  # clean doc never pairs
+    assert len(got) == len(stream)  # one row per pair despite multi-gram joins
+
+
 def _twin_table(spark, n=120, dim=16, dup_every=4, seed=3):
     rng = np.random.Generator(np.random.PCG64(seed))
     base = rng.normal(size=(n, dim))
