@@ -55,15 +55,30 @@ def semantic_dedup(
     seed: int = 1234,
     max_cell_rows: int = 5_000,
     rows_hint: int | None = None,
+    keep: str = "min_id",
 ) -> DataFrame:
-    """-> (id, cell, kept, n_dups_smaller): every input row with its home
-    cell, whether it survives SemDeDup, and how many same-cell rows with a
-    smaller id sit above the cosine threshold (0 iff kept).
+    """-> (id, cell, kept, n_dups_prior): every input row with its home
+    cell, whether it survives SemDeDup, and how many same-cell rows above
+    the cosine threshold outrank it under the keep rule (0 iff kept).
+
+    ``keep`` picks the one-per-neighborhood survivor rule, both
+    deterministic and order-free (each row's verdict is a pure function
+    of its cell's contents):
+
+      * ``"min_id"`` (default) — the smallest id outranks; the rule the
+        hash oracles check.
+      * ``"farthest"`` — the member FARTHEST from its cell centroid
+        outranks (the SemDeDup paper's rule, §3: among semantic
+        duplicates keep the one with the lowest similarity to the
+        centroid — it preserves the cluster's outer, most diverse
+        examples); exact float ties fall back to smallest id.
 
     ``rows_hint`` skips the row-count job that sizes ``n_cells`` when the
     caller already knows N (same contract as pipeline.rows_hint /
     PQVectorPairing). ``max_cell_rows`` bounds every kernel task via the
     grid salt-split — exact semantics at any skew, never truncation."""
+    if keep not in ("min_id", "farthest"):
+        raise ValueError(f"unknown keep rule: {keep!r} (min_id, farthest)")
     import numpy as np
     import pandas as pd
     from pyspark import StorageLevel
@@ -101,14 +116,18 @@ def semantic_dedup(
         [
             StructField("id", id_type, True),
             StructField("cell", IntegerType(), False),
-            StructField("n_dups_smaller", LongType(), False),
+            StructField("n_dups_prior", LongType(), False),
         ]
     )
 
     def verdict_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         """Per-(cell, salt_q, salt_i) partial verdicts: for every query row,
-        count index rows with cos >= threshold and a smaller id. Index
-        splits partition the cell, so the partials SUM exactly."""
+        count index rows with cos >= threshold that OUTRANK it under the
+        keep rule. Index splits partition the cell, so the partials SUM
+        exactly — and each row's centroid similarity is recomputed from
+        the same broadcast centroids and the same vector bytes in every
+        task, so the farthest rule's float comparisons agree across
+        splits."""
         outs = []
         roles = pdf["_role"].to_numpy()
         buf = b"".join(pdf["_emb"].to_numpy())
@@ -116,6 +135,9 @@ def semantic_dedup(
         x_all = normalize_rows(np.nan_to_num(x_all.astype(np.float64)))
         ids_all = pdf["_id"].to_numpy()
         cells_all = pdf["cell"].to_numpy()
+        if keep == "farthest":
+            cents_arr = cents_bc.value
+            cent_sim = np.einsum("ij,ij->i", x_all, cents_arr[cells_all])
         for a, b in group_slices(pdf, ["cell", "salt_q", "salt_i"]):
             g_roles = roles[a:b]
             q_idx = np.nonzero(g_roles == 1)[0] + a
@@ -124,20 +146,27 @@ def semantic_dedup(
                 continue
             qids, iids = ids_all[q_idx], ids_all[i_idx]
             sims = x_all[q_idx] @ x_all[i_idx].T
-            hits = (sims >= threshold) & (iids[None, :] < qids[:, None])
+            if keep == "farthest":
+                ci, cq = cent_sim[i_idx], cent_sim[q_idx]
+                outranks = (ci[None, :] < cq[:, None]) | (
+                    (ci[None, :] == cq[:, None]) & (iids[None, :] < qids[:, None])
+                )
+            else:
+                outranks = iids[None, :] < qids[:, None]
+            hits = (sims >= threshold) & outranks
             outs.append(
                 pd.DataFrame(
                     {
                         "id": qids,
                         "cell": cells_all[q_idx],
-                        "n_dups_smaller": hits.sum(axis=1).astype(np.int64),
+                        "n_dups_prior": hits.sum(axis=1).astype(np.int64),
                     }
                 )
             )
         if not outs:
             return pd.DataFrame(
-                {"id": [], "cell": [], "n_dups_smaller": []}
-            ).astype({"cell": "int32", "n_dups_smaller": "int64"})
+                {"id": [], "cell": [], "n_dups_prior": []}
+            ).astype({"cell": "int32", "n_dups_prior": "int64"})
         return pd.concat(outs, ignore_index=True)
 
     partials = grouped_map_in_pandas(
@@ -145,12 +174,12 @@ def semantic_dedup(
     )
     return (
         partials.groupBy("id", "cell")
-        .agg(F.sum("n_dups_smaller").cast("bigint").alias("n_dups_smaller"))
+        .agg(F.sum("n_dups_prior").cast("bigint").alias("n_dups_prior"))
         .select(
             "id",
             "cell",
-            (F.col("n_dups_smaller") == 0).cast(BooleanType()).alias("kept"),
-            "n_dups_smaller",
+            (F.col("n_dups_prior") == 0).cast(BooleanType()).alias("kept"),
+            "n_dups_prior",
         )
     )
 
@@ -175,6 +204,7 @@ def semantic_dedup_coverage(
     n_cells: int | None = None,
     seed: int = 1234,
     min_coverage: float = 0.9,
+    keep: str = "min_id",
 ) -> DataFrame:
     """One-row quality report of the cluster-scoped pass against the EXACT
     semantic-duplicate pair set (brute-force cosine_threshold_join):
@@ -194,7 +224,8 @@ def semantic_dedup_coverage(
     # without the persist the whole assignment+kernel subtree re-executes
     # per consumer (visible as 3x hashpartitioning(id, cell) in the plan)
     verdicts = semantic_dedup(
-        df, id_col, emb_col, threshold=threshold, n_cells=n_cells, seed=seed
+        df, id_col, emb_col, threshold=threshold, n_cells=n_cells, seed=seed,
+        keep=keep,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _VERDICT_CACHES.append(verdicts)
     exact = cosine_threshold_join(

@@ -222,12 +222,12 @@ def test_semantic_dedup_drops_twins_keeps_min_id(spark):
     )
     assert covered >= 0.95 * len(twin_pairs)
     # min-id rule: a dropped row always has a smaller same-cell neighbor,
-    # and kept <=> n_dups_smaller == 0
+    # and kept <=> n_dups_prior == 0
     for r in rows.values():
-        assert r.kept == (r.n_dups_smaller == 0)
+        assert r.kept == (r.n_dups_prior == 0)
     for a, b in twin_pairs:
         if rows[a].cell == rows[b].cell:
-            assert rows[a].kept or rows[a].n_dups_smaller > 0
+            assert rows[a].kept or rows[a].n_dups_prior > 0
             assert not rows[b].kept  # twin (larger id) must drop
 
 
@@ -249,6 +249,46 @@ def test_semantic_dedup_coverage_report(spark):
     assert rep.n_rows == df.count()
     assert rep.coverage_ok == 1
     assert rep.n_kept + rep.n_covered >= rep.n_rows  # dropped <= covered pairs
+
+
+def test_semantic_dedup_farthest_keeps_cluster_edge(spark):
+    # the paper's rule: among near-duplicates the member FARTHEST from
+    # the centroid survives — verified per twin pair (twins share a cell
+    # except rare boundary flips; for co-located pairs exactly the
+    # lower-centroid-similarity member must be kept)
+    from deepblocker_spark.operators.ann import _train_centroids
+
+    df, twin_pairs = _twin_table(spark)
+    v = semantic_dedup(
+        df, id_col="vec_id", emb_col="embedding", threshold=0.95,
+        n_cells=4, keep="farthest",
+    )
+    rows = {r.id: r for r in v.collect()}
+    cents = _train_centroids(df, "vec_id", "embedding", 4, 1234)
+    emb = {r.vec_id: np.array(r.embedding) for r in df.collect()}
+
+    def cent_sim(i, cell):
+        x = emb[i] / np.linalg.norm(emb[i])
+        return float(x @ cents[cell])
+
+    checked = 0
+    for a, b in twin_pairs:
+        ra, rb = rows[a], rows[b]
+        if ra.cell != rb.cell:
+            continue
+        checked += 1
+        sa, sb = cent_sim(a, ra.cell), cent_sim(b, rb.cell)
+        farther = a if (sa, a) < (sb, b) else b  # lower sim outranks, tie: min id
+        nearer = b if farther == a else a
+        assert not rows[nearer].kept
+        # the farther twin survives unless an even-farther third neighbor
+        # outranks it too; with planted pairs that third party is rare —
+        # require the common case to dominate
+        if rows[farther].kept:
+            assert rows[farther].n_dups_prior == 0
+    assert checked >= 0.9 * len(twin_pairs)
+    kept_names = sum(1 for a, b in twin_pairs if rows[a].kept != rows[b].kept)
+    assert kept_names >= 0.9 * len(twin_pairs)  # exactly one survivor per pair
 
 
 def test_semantic_dedup_deterministic(spark):
