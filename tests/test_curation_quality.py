@@ -144,3 +144,74 @@ def test_curation_pipeline_composition(spark):
     surv = {r.doc_id: (r.text, r.dup_count) for r in survivors.collect()}
     assert surv[4][1] == 2 and "<EMAIL>" in surv[4][0]
     assert "<EMAIL>" in surv[2][0]
+
+
+def test_curation_pipeline_with_round5_dedup_stages(spark):
+    """Composition of the round-5 stages into the curation chain: PII
+    scrub -> exact-substring near-dup drop (winnowing) -> semantic dedup
+    over the docs' embeddings -> exact-span decontamination vs a held-out
+    eval set. Deterministic fixture, exact expected survivor set."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from deepblocker_spark.operators.semdedup import semantic_dedup
+    from deepblocker_spark.operators.substring_dedup import (
+        exact_substring_pairs,
+        exact_substring_pairs_dyadic,
+    )
+    from deepblocker_spark.operators.textstats import redact_pii
+
+    rng = np.random.Generator(np.random.PCG64(29))
+    abc = list("abcdefghij klmnop")
+    span = "".join(rng.choice(abc, size=30))
+    leak = "".join(rng.choice(abc, size=30))
+
+    def rand(n):
+        return "".join(rng.choice(abc, size=n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, rand(40)),                         # clean -> SURVIVES
+            (2, rand(12) + span + rand(9)),        # substring-dup pair ...
+            (3, span + rand(20)),                  # ... larger id dropped
+            (4, rand(41)),                         # semantic twin, kept (min id)
+            (5, rand(42)),                         # semantic twin of 4 -> dropped
+            (6, leak + rand(15)),                  # leaks an eval span -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    base = rng.normal(size=(7, 12))
+    base[5] = base[4] * 1.001 + 0.0005  # 4/5 are semantic twins
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(1, 7)],
+        "doc_id bigint, embedding array<double>",
+    )
+    ev = spark.createDataFrame([(100, rand(7) + leak)], ["doc_id", "text"])
+
+    scrubbed = redact_pii(docs).select("doc_id", F.col("redacted").alias("text"))
+    sub_pairs = exact_substring_pairs(scrubbed, gram_len=10, window=3)
+    after_sub = scrubbed.join(
+        sub_pairs.select(F.col("b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    verdicts = semantic_dedup(
+        emb.join(after_sub.select("doc_id"), "doc_id", "left_semi"),
+        id_col="doc_id",
+        emb_col="embedding",
+        threshold=0.95,
+        n_cells=2,
+    )
+    after_sem = after_sub.join(
+        verdicts.filter(F.col("kept")).select(F.col("id").alias("doc_id")),
+        "doc_id",
+        "left_semi",
+    )
+    contaminated = exact_substring_pairs_dyadic(
+        after_sem, ev, gram_len=10, window=3
+    ).select(F.col("l_id").alias("doc_id")).distinct()
+    final = sorted(
+        r.doc_id
+        for r in after_sem.join(contaminated, "doc_id", "left_anti").collect()
+    )
+    assert final == [1, 2, 4]
