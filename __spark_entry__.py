@@ -1669,6 +1669,48 @@ def q_fs_em_link(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_tf_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fellegi-Sunter with TERM-FREQUENCY adjustment (Winkler 1989; the
+    # public Splink tf_adjustments design): agreement on a RARE source
+    # value is stronger evidence than on a common one, so the Bayes factor
+    # for a src-agreeing pair is multiplied by u_agree / tf(shared value).
+    # The tf table is count/count double division and the factor a single
+    # IEEE divide over CASE-literal arithmetic — no runtime
+    # transcendentals, so this is a FULL value oracle (DuckDB recomputes
+    # the identical doubles). Scale shape: one vocabulary-bounded hash agg
+    # broadcast-joined onto the pair frame.
+    from deepblocker_spark.operators.linkage import (
+        FSParams,
+        comparison_vectors,
+        term_frequencies,
+        tf_adjusted_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    comps = _fs_doc_comparisons()
+    params = FSParams(
+        lam=_FS_FIXED["lam"], m=_FS_FIXED["m"], u=_FS_FIXED["u"]
+    )
+    gam = comparison_vectors(
+        _fs_doc_pairs(spark, sf_dir), comps, keep=("a", "b", "ls")
+    )
+    tf = term_frequencies(docs, "source")
+    gam = gam.join(
+        F.broadcast(tf), gam["ls"] == tf["value"], "left"
+    ).drop("value")
+    scored = tf_adjusted_scores(gam, comps, params, {"src": F.col("tf")})
+    return scored.select(
+        "a",
+        "b",
+        "gamma_src",
+        "gamma_len",
+        "gamma_jw",
+        F.round("tf_factor", 9).alias("tf_factor"),
+        F.round("match_probability", 9).alias("match_probability"),
+        F.round("adj_match_probability", 9).alias("adj_match_probability"),
+    )
+
+
 def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-substring dedup (Lee et al. ACL'22) re-expressed as winnowing
     # (Schleimer SIGMOD'03) — full value oracle: fingerprint selection is
@@ -1768,11 +1810,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "rbo_bm25": q_rbo_bm25,
-        # --- 18-20: new in round 5 (never verified yet) ---
+        # --- 18-21: new in round 5 (never verified yet) ---
         "substring_dup_pairs": q_substring_dup_pairs,
         "substring_decontam": q_substring_decontam,
         "semantic_dedup": q_semantic_dedup,
-        # --- 21-40: last green round 3 ---
+        "fs_tf_adjusted": q_fs_tf_adjusted,
+        # --- 22-41: last green round 3 ---
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
         "mktsegment_orders": q_mktsegment_orders,
@@ -1793,10 +1836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": q_tfidf_cosine,
         "nearest_name_lev": q_nearest_name_lev,
         "flagship_blocking": q_flagship_blocking,
-        # --- 41-50: green only in round 4 (re-confirm under round-5 code;
-        #     canopy_pairs/cluster_eval/dedup_survivors rotate to the tail
-        #     to make room for the three new round-5 queries — all green
-        #     r4) ---
+        # --- 42-50: green only in round 4 (re-confirm under round-5 code;
+        #     canopy_pairs/cluster_eval/dedup_survivors/lsh_topk_filtered
+        #     rotate to the tail to make room for the four new round-5
+        #     queries — all green r4) ---
         "prefix_jaccard": q_prefix_jaccard,
         "prefix_cosine": q_prefix_cosine,
         "key_blocking": q_key_blocking,
@@ -1806,9 +1849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join_dyadic": q_edit_join_dyadic,
         "topk_cosine_dyadic": q_topk_cosine_dyadic,
         "minhash_pairs_dyadic": q_minhash_pairs_dyadic,
-        "lsh_topk_filtered": q_lsh_topk_filtered,
-        # --- 51-89: green-r4 overflow + multi-round veterans (outside
+        # --- 51-90: green-r4 overflow + multi-round veterans (outside
         #     the window) ---
+        "lsh_topk_filtered": q_lsh_topk_filtered,
         "dedup_survivors": q_dedup_survivors,
         "canopy_pairs": q_canopy_pairs,
         "cluster_eval": q_cluster_eval,
@@ -2916,6 +2959,58 @@ select a, b, gamma_src, gamma_len, gamma_jw,
 from s
 """
 
+    # fs_tf_adjusted: same gamma ladder but the pair frame keeps the shared
+    # left source value ls; the tf table is count::DOUBLE / count (both
+    # engines do IEEE float division of the same two integers), the factor
+    # 1.0 * CASE(u_agree/tf) and the adjusted posterior lam*(k*f) mirror
+    # tf_adjusted_scores' fold order literally.
+    _u_src_agree = _FS_FIXED["u"]["src"][1]
+    fs_tf_adjusted_sql = f"""
+with p as (
+  select l.doc_id as a, r.doc_id as b, l.source as ls, r.source as rs,
+         l.n_chars as ln, r.n_chars as rn,
+         substr(l.text, 1, 24) as ta, substr(r.text, 1, 24) as tb
+  from documents l join documents r
+    on l.doc_id % 10 = r.doc_id % 10 and l.doc_id < r.doc_id
+),
+g as (
+  select a, b, ls,
+         case when ls = rs then 1 else 0 end as gamma_src,
+         case when abs(ln - rn) <= 10 then 2
+              when abs(ln - rn) <= 100 then 1 else 0 end as gamma_len,
+         case when round(jaro_winkler_similarity(ta, tb), 6) >= 0.95 then 2
+              when round(jaro_winkler_similarity(ta, tb), 6) >= 0.70 then 1
+              else 0 end as gamma_jw
+  from p
+),
+tf as (
+  select source as value, count(*)::DOUBLE /
+         (select count(*) from documents where source is not null) as tf
+  from documents where source is not null group by source
+),
+j as (select g.*, tf.tf from g left join tf on g.ls = tf.value),
+s as (
+  select a, b, gamma_src, gamma_len, gamma_jw,
+         1.0::DOUBLE * (case when gamma_src = 1 and tf is not null
+                             then {_u_src_agree!r}::DOUBLE / tf
+                             else 1.0::DOUBLE end) as f,
+         ({_k_expr}) as k
+  from j
+),
+s2 as (
+  select a, b, gamma_src, gamma_len, gamma_jw, f,
+         {_lam!r}::DOUBLE * k as lk,
+         {_lam!r}::DOUBLE * (k * f) as lk_adj
+  from s
+)
+select a, b, gamma_src, gamma_len, gamma_jw,
+       round(f, 9) as tf_factor,
+       round(lk / (lk + {1.0 - _lam!r}::DOUBLE), 9) as match_probability,
+       round(lk_adj / (lk_adj + {1.0 - _lam!r}::DOUBLE), 9)
+         as adj_match_probability
+from s2
+"""
+
     return {
         "preprocess_merge": """
 select doc_id,
@@ -3027,6 +3122,7 @@ asof left join (select * from events where event_type = 'click') c
         "pii_redaction": pii_sql,
         "fs_patterns": fs_patterns_sql,
         "fs_scores_fixed": fs_scores_fixed_sql,
+        "fs_tf_adjusted": fs_tf_adjusted_sql,
         # fs_em_link: derived-property oracle — the three EM invariants
         # (monotone log-likelihood, convergence, Spark-scoring vs numpy
         # E-step agreement) are asserted engine-side and surface as flag

@@ -29,6 +29,19 @@ and only the first one touches the data:
    double literals* — scoring a pair is a handful of JVM additions and one
    multiply chain, no log/exp at runtime, trivially codegen'd and exactly
    reproducible.
+5. **Term-frequency adjustment** (``term_frequencies`` /
+   ``tf_adjusted_scores``): Winkler's frequency-based matching (Winkler
+   1989; the same public design as Splink's ``tf_adjustments``). The
+   global u-probability for *agreement* on a field is the average chance
+   two random records share a value — but agreeing on a RARE value
+   ("Zbigniew") is far stronger evidence than agreeing on a common one
+   ("Smith"). The adjustment replaces the averaged agreement-u with the
+   shared value's own relative frequency tf(v): the Bayes factor is
+   multiplied by u_agree / tf(v) (>1 for rare values, <1 for common).
+   Spark shape: a groupBy value-frequency table (bounded by vocabulary
+   size) broadcast-joined onto the pair frame — one narrow join, no
+   runtime transcendentals anywhere (the factor is a single IEEE divide,
+   so oracles reproduce it bit-exactly).
 
 ``fs_link`` composes 1-4 end to end.
 """
@@ -54,6 +67,9 @@ __all__ = [
     "match_probability_col",
     "score_pairs",
     "fs_link",
+    "term_frequencies",
+    "tf_adjustment_factor_col",
+    "tf_adjusted_scores",
 ]
 
 _EPS = 1e-6  # probability floor — keeps EM away from degenerate 0/1 corners
@@ -310,3 +326,104 @@ def fs_link(
         pats, comparisons, init_lambda=init_lambda, max_iter=max_iter, tol=tol
     )
     return score_pairs(gam, comparisons, params), params
+
+
+def term_frequencies(
+    df: DataFrame,
+    value_col: str,
+    out_value: str = "value",
+    out_tf: str = "tf",
+) -> DataFrame:
+    """-> (``out_value``, ``out_tf``): each distinct value of ``value_col``
+    with its relative frequency tf = n_value / N as an exact IEEE double
+    division of two counts (so any SQL engine recomputing count/count gets
+    the bit-identical double). NULLs are excluded — a NULL never "agrees"
+    with anything, so it has no term frequency.
+
+    Scale shape: one partial+final hash aggregation bounded by the field's
+    vocabulary; the scalar total arrives by broadcast cross-join (no
+    single-partition window, no collect)."""
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias(out_value))
+        .agg(F.count(F.lit(1)).alias("_n_value"))
+    )
+    # distinct names even under spark.sql.caseSensitive=false (the default),
+    # where `_n` and `_N` would collide
+    total = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.count(F.lit(1)).alias("_n_total"))
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        out_value,
+        (F.col("_n_value").cast("double") / F.col("_n_total")).alias(out_tf),
+    )
+
+
+def tf_adjustment_factor_col(
+    comparison: Comparison,
+    params: FSParams,
+    tf_col: Column,
+    min_tf: float | None = None,
+) -> Column:
+    """Multiplicative Bayes-factor correction for full agreement on a
+    shared value whose relative frequency is ``tf_col`` (Winkler 1989;
+    Splink's public ``tf_adjustments``): u_agree / tf(v), applied only at
+    the comparison's top agreement level and only when the tf is known
+    (a left-join miss keeps the unadjusted factor 1.0). ``min_tf`` floors
+    the frequency (Splink's guard against exploding weights on near-unique
+    values); the floor is a greatest() — still pure +,*,/ IEEE arithmetic,
+    so oracles reproduce the factor exactly."""
+    u_agree = params.u[comparison.name][comparison.levels - 1]
+    tf = tf_col if min_tf is None else F.greatest(tf_col, F.lit(float(min_tf)))
+    return F.when(
+        (F.col(comparison.col) == comparison.levels - 1) & tf_col.isNotNull(),
+        F.lit(float(u_agree)) / tf,
+    ).otherwise(F.lit(1.0))
+
+
+def tf_adjusted_scores(
+    gammas: DataFrame,
+    comparisons: list[Comparison],
+    params: FSParams,
+    tf_cols: dict[str, Column],
+    min_tf: float | None = None,
+) -> DataFrame:
+    """``score_pairs`` plus term-frequency adjustment: appends
+
+    - ``match_weight`` / ``match_probability`` — the unadjusted scores,
+    - ``tf_factor`` — the left-associated product of per-field adjustment
+      factors (1.0 wherever no adjustment applies),
+    - ``adj_match_probability`` — the posterior with the adjusted Bayes
+      factor K' = K * tf_factor.
+
+    ``gammas`` must carry, besides the gamma columns, whatever columns the
+    ``tf_cols`` expressions reference — typically the shared value's tf
+    joined in by broadcast from ``term_frequencies`` (the caller owns the
+    join so one tf table can serve both sides of a dyadic linkage).
+    ``tf_cols`` maps comparison name -> tf Column; fold order is the
+    ``comparisons`` list order, mirrored literally by the SQL oracle.
+    Everything stays CASE-literal +,*,/ arithmetic — no log/exp at
+    runtime, identical IEEE results on any engine."""
+    by_name = {c.name: c for c in comparisons}
+    unknown = sorted(set(tf_cols) - set(by_name))
+    if unknown:
+        raise ValueError(f"tf_adjusted_scores: unknown comparisons {unknown}")
+    factor = F.lit(1.0)
+    for c in comparisons:
+        if c.name in tf_cols:
+            factor = factor * tf_adjustment_factor_col(
+                c, params, tf_cols[c.name], min_tf=min_tf
+            )
+    k = match_ratio_col(comparisons, params)
+    lam, one_minus = float(params.lam), float(1.0 - params.lam)
+    lk = F.lit(lam) * k
+    lk_adj = F.lit(lam) * (k * factor)
+    return gammas.withColumns(
+        {
+            "match_weight": match_weight_col(comparisons, params),
+            "match_probability": lk / (lk + F.lit(one_minus)),
+            "tf_factor": factor,
+            "adj_match_probability": lk_adj / (lk_adj + F.lit(one_minus)),
+        }
+    )

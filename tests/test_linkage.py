@@ -25,6 +25,8 @@ from deepblocker_spark.operators.linkage import (
     match_weight_col,
     pattern_counts,
     score_pairs,
+    term_frequencies,
+    tf_adjusted_scores,
 )
 
 
@@ -137,6 +139,80 @@ def test_comparison_vectors_null_safe_and_counts(spark):
     pats = pattern_counts(gam, comps).toPandas()
     assert int(pats["n_pairs"].sum()) == 3
     assert len(pats) == 3
+
+
+def test_term_frequencies_excludes_nulls(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), (None,)], "v string"
+    )
+    got = {r.value: r.tf for r in term_frequencies(df, "v").collect()}
+    # NULL row excluded from numerator AND denominator: N = 4
+    assert got == {"a": pytest.approx(0.75), "b": pytest.approx(0.25)}
+
+
+def test_tf_adjusted_scores_hand_computed(spark):
+    comps = [Comparison("src", 2), Comparison("z", 3)]
+    params = FSParams(
+        lam=0.2,
+        m={"src": [0.1, 0.9], "z": [0.1, 0.3, 0.6]},
+        u={"src": [0.8, 0.2], "z": [0.6, 0.3, 0.1]},
+    )
+    # (a, b, gamma_src, gamma_z, tf): agreeing pair on a rare value
+    # (tf=0.05 < u_agree=0.2 -> boost 4x), agreeing pair on a common value
+    # (tf=0.5 -> shrink 0.4x), agreeing pair with UNKNOWN tf (left-join
+    # miss -> factor 1), and a disagreeing pair (factor 1 regardless of tf)
+    gam = spark.createDataFrame(
+        [
+            (1, 2, 1, 2, 0.05),
+            (3, 4, 1, 2, 0.5),
+            (5, 6, 1, 2, None),
+            (7, 8, 0, 0, 0.05),
+        ],
+        "a long, b long, gamma_src int, gamma_z int, tf double",
+    )
+    out = tf_adjusted_scores(gam, comps, params, {"src": F.col("tf")})
+    rows = {(r.a, r.b): r for r in out.collect()}
+
+    def post(k):
+        return 0.2 * k / (0.2 * k + 0.8)
+
+    k_agree = (0.9 / 0.2) * (0.6 / 0.1)
+    assert rows[(1, 2)].tf_factor == pytest.approx(0.2 / 0.05, rel=1e-12)
+    assert rows[(1, 2)].match_probability == pytest.approx(post(k_agree))
+    assert rows[(1, 2)].adj_match_probability == pytest.approx(
+        post(k_agree * 4.0), rel=1e-12
+    )
+    assert rows[(3, 4)].tf_factor == pytest.approx(0.2 / 0.5, rel=1e-12)
+    assert rows[(3, 4)].adj_match_probability == pytest.approx(
+        post(k_agree * 0.4), rel=1e-12
+    )
+    # unknown tf and disagreement both leave the score unadjusted
+    for key in [(5, 6), (7, 8)]:
+        assert rows[key].tf_factor == pytest.approx(1.0)
+        assert rows[key].adj_match_probability == pytest.approx(
+            rows[key].match_probability, rel=1e-12
+        )
+    # rare-value agreement must outrank common-value agreement
+    assert (
+        rows[(1, 2)].adj_match_probability
+        > rows[(1, 2)].match_probability
+        > rows[(3, 4)].adj_match_probability
+    )
+
+
+def test_tf_adjusted_scores_min_tf_floor_and_validation(spark):
+    comps = [Comparison("src", 2)]
+    params = FSParams(lam=0.5, m={"src": [0.1, 0.9]}, u={"src": [0.8, 0.2]})
+    gam = spark.createDataFrame(
+        [(1, 2, 1, 0.001)], "a long, b long, gamma_src int, tf double"
+    )
+    out = tf_adjusted_scores(
+        gam, comps, params, {"src": F.col("tf")}, min_tf=0.01
+    ).collect()[0]
+    # floor kicks in: factor = u_agree / max(tf, 0.01) = 0.2 / 0.01 = 20
+    assert out.tf_factor == pytest.approx(20.0, rel=1e-12)
+    with pytest.raises(ValueError, match="unknown comparisons"):
+        tf_adjusted_scores(gam, comps, params, {"nope": F.col("tf")})
 
 
 def _dupe_dataset(rng, n_entities=300, dup_rate=0.35):
