@@ -1711,6 +1711,39 @@ def q_fs_tf_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Unsupervised decision-threshold selection (Otsu TSMC'79) over the
+    # fixed-parameter Fellegi-Sunter match-weight histogram: the standard
+    # label-free way to split the weight distribution into its match /
+    # non-match modes. FULL value oracle: Otsu runs on bin indices, so the
+    # histogram moments are exact BIGINTs and every derived double (class
+    # weights, class means, between-class variance) is the same IEEE
+    # arithmetic on both engines; ties break to the smallest bin.
+    from deepblocker_spark.operators.linkage import (
+        FSParams,
+        comparison_vectors,
+        score_pairs,
+    )
+    from deepblocker_spark.operators.metrics import otsu_cut
+
+    comps = _fs_doc_comparisons()
+    params = FSParams(
+        lam=_FS_FIXED["lam"], m=_FS_FIXED["m"], u=_FS_FIXED["u"]
+    )
+    gam = comparison_vectors(_fs_doc_pairs(spark, sf_dir), comps)
+    scored = score_pairs(gam, comps, params)
+    out = otsu_cut(scored, score_col="match_weight", bins=32)
+    return out.select(
+        "bin",
+        "n_pairs",
+        "cum_n",
+        "cum_wsum",
+        "var_between",
+        F.col("is_otsu").cast("int").alias("is_otsu"),
+        "threshold",
+    )
+
+
 def q_substring_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-substring dedup (Lee et al. ACL'22) re-expressed as winnowing
     # (Schleimer SIGMOD'03) — full value oracle: fingerprint selection is
@@ -1815,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_decontam": q_substring_decontam,
         "semantic_dedup": q_semantic_dedup,
         "fs_tf_adjusted": q_fs_tf_adjusted,
+        "fs_otsu_threshold": q_fs_otsu_threshold,
         # --- 22-41: last green round 3 ---
         "golden_etl": q_golden_etl,
         "q1_pricing": q_q1_pricing,
@@ -1848,9 +1882,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_join": q_edit_join,
         "edit_join_dyadic": q_edit_join_dyadic,
         "topk_cosine_dyadic": q_topk_cosine_dyadic,
+        # --- 51-91: green-r4 overflow + multi-round veterans (outside
+        #     the window; minhash_pairs_dyadic green r4 rotates out for
+        #     the new fs_otsu_threshold) ---
         "minhash_pairs_dyadic": q_minhash_pairs_dyadic,
-        # --- 51-90: green-r4 overflow + multi-round veterans (outside
-        #     the window) ---
         "lsh_topk_filtered": q_lsh_topk_filtered,
         "dedup_survivors": q_dedup_survivors,
         "canopy_pairs": q_canopy_pairs,
@@ -3011,6 +3046,56 @@ select a, b, gamma_src, gamma_len, gamma_jw,
 from s2
 """
 
+    # fs_otsu_threshold: Otsu over the UNROUNDED match weights, mirrored
+    # operation-for-operation — bin = least(31, floor((w-lo)/width)) on the
+    # identical doubles; histogram moments are exact BIGINTs (order-free),
+    # so the derived doubles match bit-for-bit; row_number ties break on
+    # bin asc in both engines.
+    fs_otsu_sql = f"""{_fs_gamma_cte},
+s as (select ({_w_expr}) as w from g),
+r as (select min(w) as lo, max(w) as hi from s),
+bnd as (select lo, (hi - lo) / 32.0::DOUBLE as width from r),
+bb as (
+  select case when bnd.width > 0
+              then least(31, floor((s.w - bnd.lo) / bnd.width))::INT
+              else 0 end as bin
+  from s, bnd
+),
+h as (select bin, count(*)::BIGINT as n_pairs from bb group by bin),
+c as (
+  select bin, n_pairs,
+         sum(n_pairs) over (order by bin
+             rows between unbounded preceding and current row) as cum_n,
+         sum(n_pairs * bin) over (order by bin
+             rows between unbounded preceding and current row) as cum_wsum,
+         sum(n_pairs) over () as n_total,
+         sum(n_pairs * bin) over () as wsum_total
+  from h
+),
+v as (
+  select bin, n_pairs, cum_n, cum_wsum,
+         case when cum_n < n_total then
+           (cum_n::DOUBLE / n_total)
+           * (1.0::DOUBLE - cum_n::DOUBLE / n_total)
+           * (cum_wsum::DOUBLE / cum_n
+              - (wsum_total - cum_wsum)::DOUBLE / (n_total - cum_n))
+           * (cum_wsum::DOUBLE / cum_n
+              - (wsum_total - cum_wsum)::DOUBLE / (n_total - cum_n))
+         end as var_raw
+  from c
+),
+rk as (
+  select v.*, row_number() over (order by var_raw desc nulls last, bin) as rn
+  from v
+)
+select bin, n_pairs, cum_n::BIGINT as cum_n, cum_wsum::BIGINT as cum_wsum,
+       round(var_raw, 9) as var_between,
+       (rn = 1)::INT as is_otsu,
+       case when rn = 1
+            then round(bnd.lo + (bin + 1) * bnd.width, 9) end as threshold
+from rk, bnd
+"""
+
     return {
         "preprocess_merge": """
 select doc_id,
@@ -3123,6 +3208,7 @@ asof left join (select * from events where event_type = 'click') c
         "fs_patterns": fs_patterns_sql,
         "fs_scores_fixed": fs_scores_fixed_sql,
         "fs_tf_adjusted": fs_tf_adjusted_sql,
+        "fs_otsu_threshold": fs_otsu_sql,
         # fs_em_link: derived-property oracle — the three EM invariants
         # (monotone log-likelihood, convergence, Spark-scoring vs numpy
         # E-step agreement) are asserted engine-side and surface as flag

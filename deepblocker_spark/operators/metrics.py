@@ -435,3 +435,106 @@ def rank_biased_overlap(
     return qids.join(scored, "qid", "left").select(
         "qid", F.coalesce("rbo", F.lit(0.0)).alias("rbo")
     )
+
+
+def otsu_cut(
+    scored: DataFrame,
+    score_col: str = "match_weight",
+    bins: int = 64,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Unsupervised decision-threshold selection over a 1-D score column
+    (Otsu, IEEE TSMC 1979) — picks the cut that maximizes between-class
+    variance of the score histogram, the standard label-free way to split
+    a Fellegi-Sunter match-weight distribution into its match / non-match
+    modes (the reference stops at candidate sets and has no thresholding;
+    Winkler's review discusses weight-histogram cutoffs).
+
+    -> one row per NON-EMPTY histogram bin:
+    (bin int, n_pairs long, cum_n long, cum_wsum long, var_between double
+    NULL when the cut leaves the upper class empty, is_otsu boolean,
+    threshold double non-NULL only on the winning row: the score-space cut
+    lo + (bin+1)*width).
+
+    Exactness discipline: Otsu runs on BIN INDICES, not score values — the
+    moments cum_n = Σ n_j and cum_wsum = Σ n_j*j are exact BIGINT
+    aggregates, so every downstream double (w0, mu0, mu1, the variance) is
+    computed from exact integers in a fixed expression order and is
+    bit-identical on any engine regardless of aggregation order. Ties in
+    the (exact) variance break to the smallest bin. Empty bins carry no
+    information Otsu can use (the cut after an empty bin has the same
+    moments as the previous non-empty cut), so candidates are the
+    non-empty bins — identical on the oracle side (GROUP BY).
+
+    Scale shape: one hash aggregation to <= ``bins`` rows, then windows
+    over that bounded histogram (single-partition by construction — the
+    frame is at most ``bins`` rows, never the data)."""
+    from pyspark.sql import Window
+
+    w = F.col(score_col).cast("double")
+    if lo is None or hi is None:
+        rng = scored.agg(
+            F.min(w).alias("_lo"), F.max(w).alias("_hi")
+        )
+        src = scored.crossJoin(F.broadcast(rng))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+    else:
+        src = scored
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    width = (hi_c - lo_c) / F.lit(float(bins))
+    bin_c = F.when(width > 0, F.least(
+        F.lit(bins - 1), F.floor((w - lo_c) / width).cast("int")
+    )).otherwise(F.lit(0))
+    hist = (
+        src.select(
+            bin_c.alias("bin"),
+            lo_c.alias("_lo2"),
+            width.alias("_width"),
+        )
+        .groupBy("bin", "_lo2", "_width")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    ow = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin",
+        "n_pairs",
+        "_lo2",
+        "_width",
+        F.sum("n_pairs").over(ow).alias("cum_n"),
+        F.sum(F.col("n_pairs") * F.col("bin")).over(ow).alias("cum_wsum"),
+    )
+    tot = hist.agg(
+        F.sum("n_pairs").alias("_n_total"),
+        F.sum(F.col("n_pairs") * F.col("bin")).alias("_wsum_total"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    w0 = F.col("cum_n") / F.col("_n_total")
+    mu0 = F.col("cum_wsum").cast("double") / F.col("cum_n")
+    mu1 = (F.col("_wsum_total") - F.col("cum_wsum")).cast("double") / (
+        F.col("_n_total") - F.col("cum_n")
+    )
+    var_raw = F.when(
+        F.col("cum_n") < F.col("_n_total"),
+        w0 * (F.lit(1.0) - w0) * (mu0 - mu1) * (mu0 - mu1),
+    )
+    ranked = j.withColumn("_var_raw", var_raw).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.orderBy(F.col("_var_raw").desc_nulls_last(), F.col("bin"))
+        ),
+    )
+    return ranked.select(
+        "bin",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_wsum").cast("long").alias("cum_wsum"),
+        F.round("_var_raw", 9).alias("var_between"),
+        (F.col("_rk") == 1).alias("is_otsu"),
+        F.when(
+            F.col("_rk") == 1,
+            F.round(
+                F.col("_lo2") + (F.col("bin") + 1) * F.col("_width"), 9
+            ),
+        ).alias("threshold"),
+    )
