@@ -436,6 +436,34 @@ def main() -> None:
     )
     qs["fs_scores_fixed"] = m.queries()["fs_scores_fixed"]
 
+    # Term-frequency adjustment (round 5): the tf table must arrive by
+    # BROADCAST (vocabulary-bounded), and the adjusted scoring stays
+    # CASE-literal codegen — no new aggregation over the PAIRS (the only
+    # hash agg is the tiny tf/count build) and no extra python runner.
+    audits["fs_tf_adjusted"] = (
+        ["ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct",
+         "BroadcastHashJoin", "BroadcastExchange", "!SortMergeJoin"],
+        "tf table broadcast-joined onto the pair frame (never a shuffle "
+        "of the pairs on the tf key); the u_agree/tf factor and adjusted "
+        "posterior are CASE-literal arithmetic in the same codegen "
+        "Project as the gammas",
+    )
+    qs["fs_tf_adjusted"] = m.queries()["fs_tf_adjusted"]
+
+    # Otsu threshold (round 5): the data is touched by ONE hash
+    # aggregation down to the <=32-row histogram; the windows (cumulative
+    # moments, argmax rank) run over that bounded frame only — they must
+    # appear AFTER the aggregate, and nothing joins back to the pairs.
+    audits["fs_otsu_threshold"] = (
+        ["ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct",
+         "HashAggregate", "Window", "!SortMergeJoin"],
+        "one partial+final hash agg reduces the scored pairs to the "
+        "bounded bin histogram; cumulative moments and the argmax rank "
+        "are windows over <=32 rows (single partition by construction, "
+        "bounded); min/max range and totals arrive by broadcast",
+    )
+    qs["fs_otsu_threshold"] = m.queries()["fs_otsu_threshold"]
+
     # As-of join (round 4): union+window — the plan must contain NO join of
     # any kind (the naive formulation is a per-key range join that Catalyst
     # can only run as a nested loop), exactly one window over one exchange,
