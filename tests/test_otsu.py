@@ -84,3 +84,80 @@ def test_otsu_explicit_range_and_degenerate(spark):
     ).collect()
     assert len(deg) == 1
     assert deg[0].bin == 0 and deg[0].var_between is None
+
+
+def test_unsupervised_end_to_end_em_plus_otsu(spark):
+    """The label-free decision loop closed end to end: EM learns the m/u
+    parameters (fs_link), Otsu picks the match-weight cut from the score
+    histogram alone, connected components turn the accepted pairs into
+    entities — no label and no hand-chosen threshold anywhere.
+
+    The cut runs on the POSTERIOR (match_probability), not the raw weight:
+    at lam ~ 0.003 the non-match class carries ~99.7% of the mass AND a
+    raw-weight spread comparable to the inter-mode gap, so unweighted
+    between-class variance maximization cuts inside the big mode (measured:
+    threshold -20.9, precision 0.004). The sigmoid squashes the non-match
+    spread to ~0 while keeping the modes ~1 apart, which is exactly the
+    geometry Otsu assumes — the standard practitioner's transform for
+    imbalanced score histograms. Gates are deliberately looser than the
+    supervised 0.5-posterior test in test_linkage.py."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from deepblocker_spark.operators.cluster import connected_components
+    from deepblocker_spark.operators.linkage import Comparison, fs_link
+    from deepblocker_spark.operators.metrics import pairwise_f1
+    from tests.test_linkage import _dupe_dataset
+
+    rng = np.random.default_rng(11)
+    recs, truth = _dupe_dataset(rng)
+    df = spark.createDataFrame(
+        recs, "rid long, ent long, name string, city string, year int"
+    )
+    lhs = df.select(
+        F.col("rid").alias("a"), F.col("name").alias("ln"),
+        F.col("city").alias("lc"), F.col("year").alias("ly"),
+        F.substring("name", 1, 6).alias("bk"),
+    )
+    rhs = df.select(
+        F.col("rid").alias("b"), F.col("name").alias("rn"),
+        F.col("city").alias("rc"), F.col("year").alias("ry"),
+        F.substring("name", 1, 6).alias("bk"),
+    )
+    pairs = lhs.join(rhs, "bk").filter(F.col("a") < F.col("b"))
+    comps = [
+        Comparison("name", 2,
+                   F.when(F.col("ln").eqNullSafe(F.col("rn")), 1).otherwise(0)),
+        Comparison("city", 2,
+                   F.when(F.col("lc").eqNullSafe(F.col("rc")), 1).otherwise(0)),
+        Comparison("year", 3,
+                   F.when(F.col("ly") == F.col("ry"), 2)
+                   .when(F.abs(F.col("ly") - F.col("ry")) <= 3, 1)
+                   .otherwise(0)),
+    ]
+    scored, params = fs_link(pairs, comps, max_iter=1000, tol=1e-7)
+    assert params.converged
+    cut = [r for r in otsu_cut(scored, "match_probability", bins=32).collect()
+           if r.is_otsu]
+    assert len(cut) == 1
+    thr = cut[0].threshold
+    # the cut must separate the disagree-everything mode from the
+    # agree-on-name mode: strictly between the posterior extremes
+    lo, hi = scored.agg(
+        F.min("match_probability"), F.max("match_probability")
+    ).first()
+    assert lo < thr < hi
+    accepted = scored.filter(
+        F.col("match_probability") >= thr
+    ).select("a", "b")
+    comp = connected_components(accepted, src="a", dst="b")
+    clustered = (
+        comp.alias("x")
+        .join(comp.alias("y"), F.col("x.component") == F.col("y.component"))
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+    )
+    gold = spark.createDataFrame(sorted(truth), "a long, b long")
+    m = pairwise_f1(clustered, gold, l_col="a", r_col="b").first()
+    assert m.precision >= 0.9, (thr, m)
+    assert m.recall >= 0.6, (thr, m)
