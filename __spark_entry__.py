@@ -63,6 +63,30 @@ _FLAGSHIP_CFG = BlockerConfig(
 )
 
 
+def _recall_vs_exact(hi: DataFrame, approx: DataFrame) -> DataFrame:
+    """(recall_ok, n_highsim_pairs) for an ANN candidate set vs the exact
+    high-sim regime — ONE pass over ``hi``. The previous formulation
+    (left_semi join for the hit count, crossJoined with a separate count of
+    ``hi``) embedded the exact-top-K subtree twice in the plan, and Spark
+    reuses no common subtree across mapInPandas branches — the whole exact
+    join (scan, broadcast, matmul kernel) ran twice per query (round-6
+    plan audit: 2x ArrowEvalPython chains). A left join against the
+    (distinct by construction: rank<=k per l_id) approx pair set with
+    count(_hit) is the same arithmetic with the subtree evaluated once;
+    output columns and values are identical (oracle-hash checked)."""
+    flagged = hi.join(
+        approx.select("l_id", "r_id").withColumn("_hit", F.lit(1)),
+        ["l_id", "r_id"],
+        "left",
+    )
+    return flagged.agg(
+        F.count("_hit").alias("_hits"), F.count(F.lit(1)).alias("_n")
+    ).select(
+        (F.col("_hits") >= F.col("_n") * 0.95).cast("bigint").alias("recall_ok"),
+        F.col("_n").cast("bigint").alias("n_highsim_pairs"),
+    )
+
+
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> preprocess(text,lang,source) -> SIF embed (hash
     word-vectors, PC removal) -> exact top-5 self-blocking join."""
@@ -979,15 +1003,7 @@ def q_lsh_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_topk_join(emb, emb, k=5, l_id="vec_id", r_id="vec_id",
                             exclude_self=True)
     hi = exact.filter(F.col("sim") >= 0.4)
-    hits = hi.join(approx.select("l_id", "r_id"), ["l_id", "r_id"], "left_semi")
-    return (
-        hits.agg(F.count("*").alias("_hits"))
-        .crossJoin(hi.agg(F.count("*").alias("_n")))
-        .select(
-            (F.col("_hits") >= F.col("_n") * 0.95).cast("bigint").alias("recall_ok"),
-            F.col("_n").cast("bigint").alias("n_highsim_pairs"),
-        )
-    )
+    return _recall_vs_exact(hi, approx)
 
 
 def q_pq_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,15 +1023,7 @@ def q_pq_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_topk_join(emb, emb, k=5, l_id="vec_id", r_id="vec_id",
                             exclude_self=True)
     hi = exact.filter(F.col("sim") >= 0.4)
-    hits = hi.join(approx.select("l_id", "r_id"), ["l_id", "r_id"], "left_semi")
-    return (
-        hits.agg(F.count("*").alias("_hits"))
-        .crossJoin(hi.agg(F.count("*").alias("_n")))
-        .select(
-            (F.col("_hits") >= F.col("_n") * 0.95).cast("bigint").alias("recall_ok"),
-            F.col("_n").cast("bigint").alias("n_highsim_pairs"),
-        )
-    )
+    return _recall_vs_exact(hi, approx)
 
 
 def q_ivfpq_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1035,15 +1043,7 @@ def q_ivfpq_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_topk_join(emb, emb, k=5, l_id="vec_id", r_id="vec_id",
                             exclude_self=True)
     hi = exact.filter(F.col("sim") >= 0.4)
-    hits = hi.join(approx.select("l_id", "r_id"), ["l_id", "r_id"], "left_semi")
-    return (
-        hits.agg(F.count("*").alias("_hits"))
-        .crossJoin(hi.agg(F.count("*").alias("_n")))
-        .select(
-            (F.col("_hits") >= F.col("_n") * 0.95).cast("bigint").alias("recall_ok"),
-            F.col("_n").cast("bigint").alias("n_highsim_pairs"),
-        )
-    )
+    return _recall_vs_exact(hi, approx)
 
 
 def q_ivf_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,15 +1059,7 @@ def q_ivf_topk_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = exact_topk_join(emb, emb, k=5, l_id="vec_id", r_id="vec_id",
                             exclude_self=True)
     hi = exact.filter(F.col("sim") >= 0.4)
-    hits = hi.join(approx.select("l_id", "r_id"), ["l_id", "r_id"], "left_semi")
-    return (
-        hits.agg(F.count("*").alias("_hits"))
-        .crossJoin(hi.agg(F.count("*").alias("_n")))
-        .select(
-            (F.col("_hits") >= F.col("_n") * 0.95).cast("bigint").alias("recall_ok"),
-            F.col("_n").cast("bigint").alias("n_highsim_pairs"),
-        )
-    )
+    return _recall_vs_exact(hi, approx)
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 from deepblocker_spark.operators.lsh import lsh_candidates
 from deepblocker_spark.operators.topk import exact_topk_join
 
+from deepblocker_spark.operators.bc_registry import (
+    tracked_broadcast as _tracked,
+)
+
 
 def brute_force_topk(
     df: DataFrame,
@@ -297,19 +301,24 @@ def _ivf_pairs(
         _dedup_topk,
         group_slices,
         grouped_map_in_pandas,
+        pack_topk,
         topk_per_key,
     )
     from deepblocker_spark.operators.topk import normalize_rows
+    from pyspark.sql.types import ArrayType
 
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     _ASSIGN_CACHES.append(assigned)
     salted = grid_salt_split(assigned, max_cell_rows)
 
+    # packed kernel output (round 6, same transport as the LSH kernels):
+    # one row per l_id with parallel (r_id, sim) arrays — the merge
+    # exchange carries ~k-fold fewer rows, bit-identical final pairs
     pair_schema = StructType(
         [
             StructField("l_id", id_type, True),
-            StructField("r_id", id_type, True),
-            StructField("sim", DoubleType(), False),
+            StructField("_r", ArrayType(id_type), True),
+            StructField("_s", ArrayType(DoubleType()), True),
         ]
     )
 
@@ -319,6 +328,7 @@ def _ivf_pairs(
         cell)."""
         outs = []
         roles = pdf["_role"].to_numpy()
+        ids_all = pdf["_id"].to_numpy()
         # whole-frame binary decode (one memcpy), slices per group — the
         # same shape as the LSH kernel; no per-row LIST conversion
         buf = b"".join(pdf["_emb"].to_numpy())
@@ -331,8 +341,8 @@ def _ivf_pairs(
             i_idx = np.nonzero(g_roles == 0)[0] + a
             if not len(q_idx) or not len(i_idx):
                 continue
-            qids = pdf["_id"].to_numpy()[q_idx]
-            iids = pdf["_id"].to_numpy()[i_idx]
+            qids = ids_all[q_idx]
+            iids = ids_all[i_idx]
             qx = x_all[q_idx]
             ix = x_all[i_idx]
             sims = qx @ ix.T
@@ -349,17 +359,18 @@ def _ivf_pairs(
                 {"l_id": qids[rows[keep]], "r_id": iids[cols[keep]], "sim": s[keep]}
             ))
         if not outs:
-            return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
+            return pd.DataFrame({"l_id": [], "_r": [], "_s": []})
         # fused map-side combiner (see lsh_candidates.buckets_kernel)
-        return _dedup_topk(
+        local = _dedup_topk(
             pd.concat(outs, ignore_index=True),
             k, "l_id", "r_id", "sim", with_rank=False,
         )
+        return pack_topk(local, "l_id", "r_id", "sim")
 
     pairs = grouped_map_in_pandas(
         salted, ["cell", "salt_q", "salt_i"], cell_kernel, pair_schema
     )
-    return topk_per_key(pairs, k, pre_combine=False)
+    return topk_per_key(pairs, k, pre_combine=False, packed_input=True)
 
 
 def ivf_topk(
@@ -392,7 +403,7 @@ def ivf_topk(
     if n_cells is None:
         n_cells = _auto_n_cells(rows_hint if rows_hint is not None else df.count())
     cents = _train_centroids(df, id_col, emb_col, n_cells, seed)
-    cents_bc = spark.sparkContext.broadcast(cents)
+    cents_bc = _tracked(spark.sparkContext, cents)
     assigned = _assign_cells(df, id_col, emb_col, cents_bc, nprobe,
                              emit_home=True, emit_probes=True,
                              emb_dtype=emb_dtype)
@@ -438,7 +449,7 @@ def ivf_topk_join(
     if n_cells is None:
         n_cells = _auto_n_cells(rows_hint if rows_hint is not None else right.count())
     cents = _train_centroids(right, r_id, emb_col, n_cells, seed)
-    cents_bc = spark.sparkContext.broadcast(cents)
+    cents_bc = _tracked(spark.sparkContext, cents)
     index = _assign_cells(right, r_id, emb_col, cents_bc, nprobe,
                           emit_home=True, emit_probes=False,
                           emb_dtype=emb_dtype)

@@ -30,6 +30,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
 
+from deepblocker_spark.operators.bc_registry import (
+    tracked_broadcast as _tracked,
+)
+
 
 def _linear_init(rng: np.random.Generator, out_dim: int, in_dim: int):
     """torch.nn.Linear default init: U(+-1/sqrt(fan_in)) for W and b."""
@@ -210,7 +214,7 @@ def apply_mlp(df: DataFrame, layers: list[tuple[np.ndarray, np.ndarray, bool]],
     """Replace ``emb_col`` with the MLP image of it — numpy forward pass per
     Arrow batch, weights broadcast once (O18: inference without torch)."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(layers)
+    bc = _tracked(spark.sparkContext, layers)
     out_fields = [
         f if f.name != emb_col else StructField(emb_col, ArrayType(FloatType()), False)
         for f in df.schema.fields

@@ -376,8 +376,14 @@ def tf_adjustment_factor_col(
     so oracles reproduce the factor exactly."""
     u_agree = params.u[comparison.name][comparison.levels - 1]
     tf = tf_col if min_tf is None else F.greatest(tf_col, F.lit(float(min_tf)))
+    # tf_col > 0 guard (ADVICE r5 #4): a malformed 0.0 frequency with no
+    # min_tf floor would yield an Infinity factor; it now degrades to the
+    # unadjusted 1.0. No-op for any real relative frequency (> 0 by
+    # construction), so oracle-checked outputs are unchanged.
     return F.when(
-        (F.col(comparison.col) == comparison.levels - 1) & tf_col.isNotNull(),
+        (F.col(comparison.col) == comparison.levels - 1)
+        & tf_col.isNotNull()
+        & (tf_col > 0),
         F.lit(float(u_agree)) / tf,
     ).otherwise(F.lit(1.0))
 

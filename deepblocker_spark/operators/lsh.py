@@ -51,6 +51,10 @@ from deepblocker_spark.operators.grouped import (
 )
 from deepblocker_spark.operators.topk import normalize_rows
 
+from deepblocker_spark.operators.bc_registry import (
+    tracked_broadcast as _tracked,
+)
+
 
 def hyperplanes(dim: int, n_bands: int, band_bits: int, seed: int) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -219,9 +223,22 @@ _SIG_CACHES: list[DataFrame] = []
 def release_signature_caches() -> None:
     """Unpersist signature frames cached by lsh_candidates[_dyadic]. Safe to
     call at any time after the consuming job finished; a subsequent action on
-    an old plan would recompute rather than fail."""
+    an old plan would recompute rather than fail.
+
+    Round 6: this is the release point the (frozen) bench and the pipeline
+    stage boundaries already call after every action, so it additionally
+    drains the two lifecycle channels added for the round-5
+    BlockInfoManager race (VERDICT r5 #2): the embedding-stage persisted
+    frames (embed._PC_CACHES) and the tracked Python broadcasts
+    (bc_registry) — every release strictly after the consuming job, never
+    via GC-timed ContextCleaner."""
+    from deepblocker_spark.operators import bc_registry
+    from deepblocker_spark.operators.embed import release_pc_caches
+
     while _SIG_CACHES:
         _SIG_CACHES.pop().unpersist()
+    release_pc_caches()
+    bc_registry.release_tracked()
 
 
 def _persisted_sigs(df, id_col, emb_col, dim, n_bands, band_bits, seed,
@@ -390,7 +407,7 @@ def lsh_candidates(
             if len(b0)
             else np.zeros((0, dim), dtype=dt_np)
         )
-        emb_bc = df.sparkSession.sparkContext.broadcast(
+        emb_bc = _tracked(df.sparkSession.sparkContext, 
             (b0[id_col].to_numpy(), mat)
         )
         joined = joined.select("band", "bucket", "salt", id_col)
@@ -497,6 +514,8 @@ def lsh_candidates_dyadic(
     max_bucket_rows: int = 5_000,
     min_sim: float | None = None,
     emb_dtype: str = "f32",
+    gather: str = "auto",
+    gather_max_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Dyadic (left-vs-right) LSH candidate generation — the scale path for
     the reference's two-table blocking. Both sides get signatures from the
@@ -513,7 +532,17 @@ def lsh_candidates_dyadic(
     symmetrically for right rows), so every (l, r) pair of the bucket is
     examined exactly once — per-task cross-products stay bounded by
     max_bucket_rows^2 with zero recall loss vs the uncapped bucket.
-    """
+
+    ``gather`` (round 6 — ported from ``lsh_candidates``, same contract,
+    bit-identical output either way): ``'auto'`` broadcasts BOTH sides'
+    quantized matrices when each fits ``gather_max_bytes``, so the kernel
+    exchange ships only (band, bucket, salts, id, side) — the n_bands-fold
+    vector duplication (the widest shuffle of the dyadic plan) never
+    crosses the wire; above the gate (always, at 100 TB) the vector rides
+    the exchange as before. Requires per-side-unique ids on the broadcast
+    path (same contract as the self path's gather). The kernel output is
+    also packed (one row per l_id with parallel arrays, grouped.pack_topk)
+    — ~k-fold fewer merge-exchange rows, identical final pairs."""
     # One signature pass per side (VERDICT r2 #2): each side's emb-carrying
     # signature frame is persisted and consumed by BOTH its bucket-size
     # aggregation (a narrow projection, collected eagerly — this is what
@@ -570,25 +599,77 @@ def lsh_candidates_dyadic(
                 "_emb", F.lit(side).alias("_side"),
             )
 
+    if gather not in ("auto", "broadcast", "exchange"):
+        raise ValueError(
+            f"unknown gather: {gather!r} (use 'auto', 'broadcast' or 'exchange')"
+        )
     both = salted(l_sigs, l_id, 0).unionByName(salted(r_sigs, r_id, 1))
+
+    # Broadcast-gather gate (see docstring): counts are near-free — the
+    # signature frames are persisted and already materialized by the
+    # bucket-size collects above.
+    dt_item = 2 if emb_dtype == "f16" else 4
+    use_broadcast = gather == "broadcast"
+    if gather == "auto":
+        n_l = l_sigs.count() // max(n_bands, 1)
+        n_r = r_sigs.count() // max(n_bands, 1)
+        use_broadcast = (
+            n_l * dim * dt_item <= gather_max_bytes
+            and n_r * dim * dt_item <= gather_max_bytes
+        )
+    emb_bcs = None
+    gather_partitions = None
+    if use_broadcast:
+        dt_np = np.float16 if emb_dtype == "f16" else np.float32
+
+        def _collect_side(sigs: DataFrame, key: str):
+            b0 = sigs.filter(F.col("band") == 0).select(key, "_emb").toPandas()
+            mat = (
+                np.frombuffer(b"".join(b0["_emb"].to_numpy()), dtype=dt_np)
+                .reshape(len(b0), -1)
+                if len(b0)
+                else np.zeros((0, dim), dtype=dt_np)
+            )
+            return _tracked(
+                left.sparkSession.sparkContext, (b0[key].to_numpy(), mat)
+            )
+
+        emb_bcs = (_collect_side(l_sigs, l_id), _collect_side(r_sigs, r_id))
+        both = both.select("band", "bucket", "salt_l", "salt_r", "_id", "_side")
+        # same AQE-coalescing exemption as the self path: narrow rows must
+        # not shrink the kernel stage's parallelism (matmul work per row is
+        # unchanged by row width)
+        gather_partitions = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
 
     l_type = left.select(l_id).schema.fields[0].dataType
     r_type = right.select(r_id).schema.fields[0].dataType
+    # packed kernel output (one row per l_id, parallel (r_id, sim) arrays):
+    # the merge exchange carries ~k-fold fewer rows, bit-identical pairs
     pair_schema = StructType(
         [
             StructField("l_id", l_type, True),
-            StructField("r_id", r_type, True),
-            StructField("sim", DoubleType(), False),
+            StructField("_r", ArrayType(r_type), True),
+            StructField("_s", ArrayType(DoubleType()), True),
         ]
     )
 
     def buckets_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         ids_all = pdf["_id"].to_numpy()
-        buf = b"".join(pdf["_emb"].to_numpy())
-        dt = np.float16 if emb_dtype == "f16" else np.float32
-        x_all = np.frombuffer(buf, dtype=dt).reshape(len(pdf), -1)
-        x_all = normalize_rows(np.nan_to_num(x_all.astype(np.float64)))
         side_all = pdf["_side"].to_numpy()
+        if emb_bcs is not None:
+            lmask_all = side_all == 0
+            x_all = np.empty((len(pdf), dim), dtype=np.float64)
+            # per-side gather (upcast on assign == the self path's astype)
+            x_all[lmask_all] = _gather_rows(emb_bcs[0], ids_all[lmask_all])
+            x_all[~lmask_all] = _gather_rows(emb_bcs[1], ids_all[~lmask_all])
+            x_all = normalize_rows(np.nan_to_num(x_all))
+        else:
+            buf = b"".join(pdf["_emb"].to_numpy())
+            dt = np.float16 if emb_dtype == "f16" else np.float32
+            x_all = np.frombuffer(buf, dtype=dt).reshape(len(pdf), -1)
+            x_all = normalize_rows(np.nan_to_num(x_all.astype(np.float64)))
         out_l, out_r, out_s = [], [], []
         for a, b in group_slices(pdf, ["band", "bucket", "salt_l", "salt_r"]):
             side = side_all[a:b]
@@ -607,9 +688,9 @@ def lsh_candidates_dyadic(
             out_r.append(rids[cols])
             out_s.append(sims[rows, cols])
         if not out_l:
-            return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
+            return pd.DataFrame({"l_id": [], "_r": [], "_s": []})
         # fused map-side combiner (see lsh_candidates.buckets_kernel)
-        return _dedup_topk(
+        local = _dedup_topk(
             pd.DataFrame(
                 {
                     "l_id": np.concatenate(out_l),
@@ -619,14 +700,19 @@ def lsh_candidates_dyadic(
             ),
             k, "l_id", "r_id", "sim", with_rank=False,
         )
+        if min_sim is not None:
+            # pre-merge row filter — commutes with the merge's dedup+topk
+            local = local[local["sim"].to_numpy() >= min_sim]
+        return pack_topk(local, "l_id", "r_id", "sim")
 
     pairs = grouped_map_in_pandas(
-        both, ["band", "bucket", "salt_l", "salt_r"], buckets_kernel, pair_schema
+        both, ["band", "bucket", "salt_l", "salt_r"], buckets_kernel,
+        pair_schema,
+        num_partitions=gather_partitions if use_broadcast else None,
     )
-    if min_sim is not None:
-        pairs = pairs.filter(F.col("sim") >= min_sim)
     return topk_per_key(
-        pairs, k, key="l_id", other="r_id", sim="sim", pre_combine=False
+        pairs, k, key="l_id", other="r_id", sim="sim", pre_combine=False,
+        packed_input=True,
     )
 
 
@@ -670,5 +756,5 @@ class LSHVectorPairing:
         return lsh_candidates_dyadic(
             left, self._right, l_id, self._r_id, emb_col or self._emb, self.dim,
             self.k, self.n_bands, self.band_bits, self.seed, self.max_bucket_rows,
-            self.min_sim, self.emb_dtype,
+            self.min_sim, self.emb_dtype, self.gather, self.gather_max_bytes,
         )

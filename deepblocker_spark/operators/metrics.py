@@ -493,9 +493,13 @@ def otsu_cut(
         src = scored
         lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
     width = (hi_c - lo_c) / F.lit(float(bins))
-    bin_c = F.when(width > 0, F.least(
+    # clamp BOTH ends (ADVICE r5 #1): with caller-supplied lo/hi, a score
+    # below lo would otherwise yield a negative bin index and silently skew
+    # the histogram moments. No-op when lo/hi bound the data (the derived-
+    # range path always does), so oracle-checked outputs are unchanged.
+    bin_c = F.when(width > 0, F.greatest(F.lit(0), F.least(
         F.lit(bins - 1), F.floor((w - lo_c) / width).cast("int")
-    )).otherwise(F.lit(0))
+    ))).otherwise(F.lit(0))
     hist = (
         src.select(
             bin_c.alias("bin"),

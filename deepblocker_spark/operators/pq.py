@@ -35,6 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deepblocker_spark.operators.bc_registry import (
+    tracked_broadcast as _tracked,
+)
+
 
 def train_pq(
     df: DataFrame,
@@ -106,7 +110,7 @@ def encode_pq(
     from deepblocker_spark.operators.topk import normalize_rows
 
     spark = df.sparkSession
-    books_bc = spark.sparkContext.broadcast(codebooks)
+    books_bc = _tracked(spark.sparkContext, codebooks)
     id_type = df.select(id_col).schema.fields[0].dataType
     schema = StructType(
         [StructField(id_col, id_type, True), StructField("code", BinaryType(), False)]
@@ -211,7 +215,7 @@ def pq_topk_join(
         )
     m = codebooks.shape[0]
     spark = left.sparkSession
-    books_bc = spark.sparkContext.broadcast(codebooks)
+    books_bc = _tracked(spark.sparkContext, codebooks)
 
     codes_df = encode_pq(right, codebooks, id_col=r_id, emb_col=emb_col)
     # m bytes + id per row, chunk-bounded below; the LIMIT hard-bounds
@@ -243,7 +247,7 @@ def pq_topk_join(
         codes = np.frombuffer(b"".join(r[1] for r in part), dtype=np.uint8).reshape(
             len(part), m
         )
-        chunks.append(spark.sparkContext.broadcast((ids, codes)))
+        chunks.append(_tracked(spark.sparkContext, (ids, codes)))
 
     def topk_kernel(chunk_bc):
         def run(batches):
@@ -411,19 +415,22 @@ def _ivf_pq_pairs(assigned, books_bc, k, id_type, mask_equal_ids, max_cell_rows)
         _dedup_topk,
         group_slices,
         grouped_map_in_pandas,
+        pack_topk,
         topk_per_key,
     )
     from deepblocker_spark.operators.topk import normalize_rows
+    from pyspark.sql.types import ArrayType
 
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     _ASSIGN_CACHES.append(assigned)
     salted = grid_salt_split(assigned, max_cell_rows)
 
+    # packed kernel output (round 6, same transport as the LSH/IVF kernels)
     pair_schema = StructType(
         [
             StructField("l_id", id_type, True),
-            StructField("r_id", id_type, True),
-            StructField("sim", DoubleType(), False),
+            StructField("_r", ArrayType(id_type), True),
+            StructField("_s", ArrayType(DoubleType()), True),
         ]
     )
 
@@ -466,16 +473,17 @@ def _ivf_pq_pairs(assigned, books_bc, k, id_type, mask_equal_ids, max_cell_rows)
                 {"l_id": qids[rows[keep]], "r_id": iids[cols[keep]], "sim": s[keep]}
             ))
         if not outs:
-            return pd.DataFrame({"l_id": [], "r_id": [], "sim": []})
-        return _dedup_topk(
+            return pd.DataFrame({"l_id": [], "_r": [], "_s": []})
+        local = _dedup_topk(
             pd.concat(outs, ignore_index=True), k, "l_id", "r_id", "sim",
             with_rank=False,
         )
+        return pack_topk(local, "l_id", "r_id", "sim")
 
     pairs = grouped_map_in_pandas(
         salted, ["cell", "salt_q", "salt_i"], cell_kernel, pair_schema
     )
-    return topk_per_key(pairs, k, pre_combine=False)
+    return topk_per_key(pairs, k, pre_combine=False, packed_input=True)
 
 
 def ivf_pq_topk(
@@ -507,8 +515,8 @@ def ivf_pq_topk(
         df, id_col=id_col, emb_col=emb_col, m=m, n_codes=n_codes,
         seed=seed + 1, rows_hint=n,
     )
-    cents_bc = spark.sparkContext.broadcast(cents)
-    books_bc = spark.sparkContext.broadcast(books)
+    cents_bc = _tracked(spark.sparkContext, cents)
+    books_bc = _tracked(spark.sparkContext, books)
     assigned = _assign_cells_pq(
         df, id_col, emb_col, cents_bc, books_bc, nprobe,
         emit_home=True, emit_probes=True,
@@ -549,8 +557,8 @@ def ivf_pq_topk_join(
         right, id_col=r_id, emb_col=emb_col, m=m, n_codes=n_codes,
         seed=seed + 1, rows_hint=n,
     )
-    cents_bc = spark.sparkContext.broadcast(cents)
-    books_bc = spark.sparkContext.broadcast(books)
+    cents_bc = _tracked(spark.sparkContext, cents)
+    books_bc = _tracked(spark.sparkContext, books)
     idx = _assign_cells_pq(
         right, r_id, emb_col, cents_bc, books_bc, nprobe,
         emit_home=True, emit_probes=False,

@@ -44,6 +44,9 @@ from deepblocker_spark.operators.ann import (
     _train_centroids,
     grid_salt_split,
 )
+from deepblocker_spark.operators.bc_registry import (
+    tracked_broadcast as _tracked,
+)
 
 
 def semantic_dedup(
@@ -99,7 +102,7 @@ def semantic_dedup(
     if n_cells is None:
         n_cells = _auto_n_cells(rows_hint if rows_hint is not None else df.count())
     cents = _train_centroids(df, id_col, emb_col, n_cells, seed)
-    cents_bc = df.sparkSession.sparkContext.broadcast(cents)
+    cents_bc = _tracked(df.sparkSession.sparkContext, cents)
     # one assignment pass; role 0 = index copy. The role-1 query copies are
     # minted from the SAME frame (cache + union) so assignment runs once.
     assigned = _assign_cells(

@@ -42,6 +42,10 @@ from pyspark.sql.types import (
 
 from deepblocker_spark.operators.embed import EMBEDDING
 
+from deepblocker_spark.operators.bc_registry import (
+    tracked_broadcast as _tracked,
+)
+
 
 # Memory discipline for the similarity kernel (this matters at every scale —
 # the sims block is the single biggest allocation in the engine):
@@ -134,13 +138,35 @@ def _iter_right_chunks(
 
     ``right_rows`` (a row-count hint, e.g. from a checkpoint manifest)
     skips the count job; when it says the table fits one chunk the
-    persist round-trip is skipped too — one toPandas, nothing else."""
+    persist round-trip is skipped too — one toPandas, nothing else.
+
+    Without a hint, a LIMIT(max_rows + 1) Arrow probe replaces the old
+    persist + count + toPandas sizing round-trip (round 6; the same
+    limit-probe pattern as pq.pq_topk_join): when the table fits one
+    chunk — every oracle query and any pairing below max_broadcast_rows —
+    the whole collection is ONE bounded job, and the probe can never pull
+    more than one chunk's rows to the driver. The probed rows are ordered
+    by id so chunk row order (and therefore f32 argpartition behavior on
+    exact score ties) is content-determined rather than
+    partition-order-determined. Only a genuinely multi-chunk table still
+    pays the persist + count + per-chunk reads (the probe's bounded pull
+    is discarded — one chunk's worth of wasted transfer, vs the full
+    lineage recomputation the count used to cost at every size)."""
     proj = right.select(r_id, emb_col)
     if max_rows <= 0:
         raise ValueError("max_broadcast_rows must be positive")
     if right_rows is not None and right_rows <= max_rows:
         yield _pdf_to_chunk(proj.toPandas(), r_id, emb_col)
         return
+    if right_rows is None:
+        probe = proj.limit(max_rows + 1).toPandas()
+        if len(probe) <= max_rows:
+            if len(probe):
+                probe = probe.sort_values(r_id, kind="mergesort",
+                                          ignore_index=True)
+            yield _pdf_to_chunk(probe, r_id, emb_col)
+            return
+        del probe
     proj.persist()
     try:
         n = proj.count() if right_rows is None else right_rows
@@ -256,7 +282,7 @@ def exact_topk_join(
     )
 
     def make_runner(ids_c: np.ndarray, mat_c: np.ndarray):
-        bc = spark.sparkContext.broadcast((ids_c, mat_c))
+        bc = _tracked(spark.sparkContext, (ids_c, mat_c))
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rids, rmat = bc.value
@@ -342,7 +368,7 @@ def cosine_threshold_join(
 
     parts = []
     for ids_c, mat_c in _iter_right_chunks(right, r_id, emb_col, max_broadcast_rows):
-        bc = spark.sparkContext.broadcast((ids_c, mat_c))
+        bc = _tracked(spark.sparkContext, (ids_c, mat_c))
         del ids_c, mat_c
 
         def run(batches: Iterator[pd.DataFrame], _bc=bc) -> Iterator[pd.DataFrame]:

@@ -315,8 +315,13 @@ class DeepBlocker:
         # more than once (index collect + query scan), and the embedding UDF
         # chain is the expensive part of the lineage. On the real cluster
         # this is the parquet/Iceberg checkpoint barrier (plans/checkpoint).
+        # Registered in embed._PC_CACHES so the documented release points
+        # (lsh.release_signature_caches) unpersist them deterministically
+        # after the consuming action instead of GC-timed ContextCleaner
+        # (round-6 BlockInfoManager-race hardening, VERDICT r5 #2).
         left_emb = self.embedding.embed(left_pre).persist()
         right_emb = self.embedding.embed(right_pre).persist()
+        E._PC_CACHES.extend([left_emb, right_emb])
         self.pairing.index(right_emb, r_id=id_col)
         return self.pairing.query(left_emb, l_id=id_col)
 
@@ -326,6 +331,7 @@ class DeepBlocker:
         corpus = pre.select(MERGED_TEXT)
         self.embedding.preprocess(corpus)
         emb = self.embedding.embed(pre).persist()
+        E._PC_CACHES.append(emb)
         if hasattr(self.pairing, "exclude_self"):
             self.pairing.exclude_self = True
         self.pairing.index(emb, r_id=id_col)

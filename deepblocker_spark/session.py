@@ -48,7 +48,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 12g default (was 8g, round 6): the driver's bench runs this single
+        # JVM at local[32] — 32 concurrent tasks' execution memory, every
+        # broadcast relation, and all cached frames share one heap, and the
+        # round-5 driver bench died in a GC-adjacent
+        # BlockInfoManager/TorrentBroadcast storm (VERDICT r5 #1/#2). More
+        # headroom means fewer full GCs, which means fewer
+        # ContextCleaner-triggered concurrent block removals. Sandbox has
+        # 128 GiB; env-overridable, and the bench's pinned scaling
+        # subprocesses still set their own 4g explicitly.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.NUMPY_MADVISE_HUGEPAGE", "0")
