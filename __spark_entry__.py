@@ -1817,83 +1817,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in the tail. README.md "Driver-verification history" records which
     # round verified each query so future rotations keep the audit trail.
     return {
-        # --- 1-17: never driver-verified before round 5 ---
-        "ensemble_blocking": q_ensemble_blocking,
-        "interval_join_events": q_interval_join_events,
-        "sketch_distinct": q_sketch_distinct,
-        "price_distance_pairs": q_price_distance_pairs,
-        "orders_cube": q_orders_cube,
-        "decontam_overlap": q_decontam_overlap,
-        "bloom_decontam": q_bloom_decontam,
-        "repetition_stats": q_repetition_stats,
-        "pii_redaction": q_pii_redaction,
-        "fs_patterns": q_fs_patterns,
-        "fs_scores_fixed": q_fs_scores_fixed,
-        "fs_em_link": q_fs_em_link,
-        "pq_topk_emb": q_pq_topk_emb,
-        "ivfpq_topk_emb": q_ivfpq_topk_emb,
-        "bm25_topk": q_bm25_topk,
-        "bm25_topk_filtered": q_bm25_topk_filtered,
-        "rbo_bm25": q_rbo_bm25,
-        # --- 18-21: new in round 5 (never verified yet) ---
-        "substring_dup_pairs": q_substring_dup_pairs,
-        "substring_decontam": q_substring_decontam,
-        "semantic_dedup": q_semantic_dedup,
-        "fs_tf_adjusted": q_fs_tf_adjusted,
-        "fs_otsu_threshold": q_fs_otsu_threshold,
-        # --- 22-41: last green round 3 ---
-        "golden_etl": q_golden_etl,
-        "q1_pricing": q_q1_pricing,
-        "mktsegment_orders": q_mktsegment_orders,
-        "events_hourly": q_events_hourly,
-        "brand_top_parts": q_brand_top_parts,
-        "user_sessions": q_user_sessions,
-        "top_revenue_orders": q_top_revenue_orders,
-        "emb_norms": q_emb_norms,
-        "shingle_fingerprint": q_shingle_fingerprint,
-        "rollup_orders": q_rollup_orders,
-        "custkey_setops": q_custkey_setops,
-        "json_props": q_json_props,
-        "monthly_orders": q_monthly_orders,
-        "lsh_topk_emb": q_lsh_topk_emb,
-        "ivf_topk_emb": q_ivf_topk_emb,
-        "simhash_docs": q_simhash_docs,
-        "cand_jw_scores": q_cand_jw_scores,
-        "tfidf_cosine": q_tfidf_cosine,
-        "nearest_name_lev": q_nearest_name_lev,
-        "flagship_blocking": q_flagship_blocking,
-        # --- 42-50: green only in round 4 (re-confirm under round-5 code;
-        #     canopy_pairs/cluster_eval/dedup_survivors/lsh_topk_filtered
-        #     rotate to the tail to make room for the four new round-5
-        #     queries — all green r4) ---
-        "prefix_jaccard": q_prefix_jaccard,
-        "prefix_cosine": q_prefix_cosine,
-        "key_blocking": q_key_blocking,
-        "key_blocking_purged": q_key_blocking_purged,
-        "key_blocking_dyadic": q_key_blocking_dyadic,
-        "edit_join": q_edit_join,
-        "edit_join_dyadic": q_edit_join_dyadic,
-        "topk_cosine_dyadic": q_topk_cosine_dyadic,
-        # --- 51-91: green-r4 overflow + multi-round veterans (outside
-        #     the window; minhash_pairs_dyadic green r4 rotates out for
-        #     the new fs_otsu_threshold) ---
+        # --- round-6 rotation (tools/rotate_window.py): positions
+        # 1-29 are the 41-query round-4 tail (re-verified under the
+        # round-6 tree), 30-41 the multi-round veterans last green r4,
+        # 42-50 round-5 entries filling the window; the freshly-green
+        # round-5 cohort sits in the tail. README history table updated.
         "minhash_pairs_dyadic": q_minhash_pairs_dyadic,
         "lsh_topk_filtered": q_lsh_topk_filtered,
         "dedup_survivors": q_dedup_survivors,
         "canopy_pairs": q_canopy_pairs,
         "cluster_eval": q_cluster_eval,
-        "preprocess_merge": q_preprocess_merge,
-        "token_freq": q_token_freq,
-        "sif_weights": q_sif_weights,
-        "doc_profile": q_doc_profile,
-        "content_hash_groups": q_content_hash_groups,
-        "minhash_sig": q_minhash_sig,
-        "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
-        "topk_cosine": q_topk_cosine,
-        "emb_neardup": q_emb_neardup,
-        "knn_recall": q_knn_recall,
-        "cc_components": q_cc_components,
         "suffix_blocking": q_suffix_blocking,
         "phonetic_blocking": q_phonetic_blocking,
         "tfidf_join": q_tfidf_join,
@@ -1912,12 +1845,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_sample": q_curation_sample,
         "soft_tfidf": q_soft_tfidf,
         "pr_sweep": q_pr_sweep,
-        "cluster_canonical": q_cluster_canonical,
         "cluster_fusion": q_cluster_fusion,
         "star_clusters": q_star_clusters,
         "group_linkage": q_group_linkage,
         "asof_click_purchase": q_asof_click_purchase,
         "canopy_blocking": q_canopy_blocking,
+        "cluster_canonical": q_cluster_canonical,
+        "preprocess_merge": q_preprocess_merge,
+        "token_freq": q_token_freq,
+        "sif_weights": q_sif_weights,
+        "doc_profile": q_doc_profile,
+        "content_hash_groups": q_content_hash_groups,
+        "minhash_sig": q_minhash_sig,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "topk_cosine": q_topk_cosine,
+        "emb_neardup": q_emb_neardup,
+        "knn_recall": q_knn_recall,
+        "cc_components": q_cc_components,
+        "ensemble_blocking": q_ensemble_blocking,
+        "interval_join_events": q_interval_join_events,
+        "sketch_distinct": q_sketch_distinct,
+        "price_distance_pairs": q_price_distance_pairs,
+        "orders_cube": q_orders_cube,
+        "decontam_overlap": q_decontam_overlap,
+        "bloom_decontam": q_bloom_decontam,
+        "repetition_stats": q_repetition_stats,
+        "pii_redaction": q_pii_redaction,  # <-- window edge (50)
+        "fs_patterns": q_fs_patterns,
+        "fs_scores_fixed": q_fs_scores_fixed,
+        "fs_em_link": q_fs_em_link,
+        "pq_topk_emb": q_pq_topk_emb,
+        "ivfpq_topk_emb": q_ivfpq_topk_emb,
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
+        "rbo_bm25": q_rbo_bm25,
+        "substring_dup_pairs": q_substring_dup_pairs,
+        "substring_decontam": q_substring_decontam,
+        "semantic_dedup": q_semantic_dedup,
+        "fs_tf_adjusted": q_fs_tf_adjusted,
+        "fs_otsu_threshold": q_fs_otsu_threshold,
+        "cand_jw_scores": q_cand_jw_scores,
+        "tfidf_cosine": q_tfidf_cosine,
+        "nearest_name_lev": q_nearest_name_lev,
+        "prefix_jaccard": q_prefix_jaccard,
+        "prefix_cosine": q_prefix_cosine,
+        "key_blocking_purged": q_key_blocking_purged,
+        "key_blocking_dyadic": q_key_blocking_dyadic,
+        "edit_join": q_edit_join,
+        "edit_join_dyadic": q_edit_join_dyadic,
+        "lsh_topk_emb": q_lsh_topk_emb,
+        "ivf_topk_emb": q_ivf_topk_emb,
+        "simhash_docs": q_simhash_docs,
+        "flagship_blocking": q_flagship_blocking,
+        "key_blocking": q_key_blocking,
+        "golden_etl": q_golden_etl,
+        "q1_pricing": q_q1_pricing,
+        "mktsegment_orders": q_mktsegment_orders,
+        "events_hourly": q_events_hourly,
+        "brand_top_parts": q_brand_top_parts,
+        "user_sessions": q_user_sessions,
+        "top_revenue_orders": q_top_revenue_orders,
+        "emb_norms": q_emb_norms,
+        "shingle_fingerprint": q_shingle_fingerprint,
+        "rollup_orders": q_rollup_orders,
+        "custkey_setops": q_custkey_setops,
+        "json_props": q_json_props,
+        "monthly_orders": q_monthly_orders,
+        "topk_cosine_dyadic": q_topk_cosine_dyadic,
     }
 
 

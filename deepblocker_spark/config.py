@@ -51,6 +51,18 @@ class BlockerConfig:
     # there) and LSH-bucketed generation above it — the path whose shuffle
     # stays bounded at any scale.
     pairing_lsh_threshold_rows: int = 100_000
+    # Second 'auto' tier (VERDICT r5 #5): above the LSH threshold, route to
+    # IVFADC (pairing='ivfpq') once the raw f32 embedding matrix
+    # (n_rows * emb_dim * 4 bytes) clearly exceeds the LSH broadcast-gather
+    # gate — the regime where the LSH kernel exchange must carry n_bands
+    # copies of every vector while IVFADC ships 8-byte codes (measured
+    # 2.3x faster / 5.4x fewer shuffle bytes than IVF-flat at 240k,
+    # BASELINE.md round 5). Default 8x lsh_gather_max_bytes (512 MB): at
+    # dim 300 that is ~450k rows, at dim 64 ~2.1M — the bench's 240k/dim-64
+    # scaling job (61 MB) deliberately stays on the LSH path the scaling
+    # artifact profiles. The resolved choice is recorded in the candidates
+    # checkpoint manifest (plans/checkpoint.py params).
+    pairing_ivfpq_min_bytes: int = 8 * (64 << 20)
     lsh_n_bands: int = 8
     lsh_band_bits: int = 12
     lsh_max_bucket_rows: int = 5_000

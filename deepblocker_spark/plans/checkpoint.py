@@ -305,8 +305,12 @@ def run_blocking_pipeline(
                   (the index role's exchange payload drops 32×; measured
                   2.3× faster than ivf-flat at 240k rows, BASELINE.md);
       * 'auto'  — exact below cfg.pairing_lsh_threshold_rows rows
-                  (using the embeddings checkpoint's manifest row count),
-                  LSH above it.
+                  (using the embeddings checkpoint's manifest row count);
+                  above it, LSH while the raw embedding matrix stays under
+                  cfg.pairing_ivfpq_min_bytes, IVFADC beyond that (VERDICT
+                  r5 #5 — the regime where m-byte codes beat carrying
+                  n_bands vector copies through the kernel exchange). The
+                  resolved mode lands in the candidates manifest params.
     """
     from deepblocker_spark.config import DEFAULT_CONFIG
     from deepblocker_spark.functions.tokenizer import tokens_col
@@ -342,7 +346,12 @@ def run_blocking_pipeline(
     n_rows = ckpt.manifest("embeddings")["rows"]
     mode = pairing
     if mode == "auto":
-        mode = "lsh" if n_rows > cfg.pairing_lsh_threshold_rows else "exact"
+        if n_rows <= cfg.pairing_lsh_threshold_rows:
+            mode = "exact"
+        elif n_rows * cfg.emb_dim * 4 <= cfg.pairing_ivfpq_min_bytes:
+            mode = "lsh"
+        else:
+            mode = "ivfpq"
 
     def build_candidates() -> DataFrame:
         if mode == "exact":
