@@ -530,34 +530,41 @@ def main() -> None:
     )
     qs["interval_join_events"] = m.queries()["interval_join_events"]
 
-    # Exact-substring dedup (round 5): winnowing selection must be pure
-    # codegen expression work (array_min over slices of a MATERIALIZED
-    # gram array — a single nested expression would re-inline the gram
-    # transform per window position), the fingerprint self-join a hash
-    # equi-join feeding a partial+final count agg, and the scan pruned to
-    # (doc_id, text). Never a cartesian.
+    # Exact-substring dedup (round 6): winnowing selection is ONE Arrow
+    # mapInPandas kernel riding the pruned scan into a persisted frame
+    # (the interpreted transform/slice/array_min lambda chain — 25x text
+    # bytes of transient row width — was the query's dominant cost,
+    # OPTIMIZATION_r06.md #1); the fingerprint self-join is a hash
+    # equi-join of that frame with itself feeding a partial+final count
+    # agg. Never a cartesian, never a generate-per-window re-expansion.
     audits["substring_dup_pairs"] = (
-        ["array_min(slice(", "Generate", "HashAggregate", "partial_count",
+        ["MapInPandas", "InMemoryRelation", "HashAggregate",
+         "partial_count", "!array_min(slice(",
          "!CartesianProduct", "!BroadcastNestedLoopJoin",
          "ReadSchema: struct<doc_id:bigint,text:string>"],
-        "winnowing is codegen string algebra (transform/slice/array_min) "
-        "exploded into an inverted-index hash self-join on the fingerprint "
-        "+ map-side partial count — the minhash-band-join shape; scan "
+        "winnowing selection is one Arrow kernel (sliding np.minimum over "
+        "the per-row gram array) into a persisted fingerprint frame "
+        "consumed by both join sides; fingerprint hash self-join + "
+        "map-side partial count — the minhash-band-join shape; scan "
         "pruned to (doc_id, text)",
     )
     qs["substring_dup_pairs"] = m.queries()["substring_dup_pairs"]
 
-    # Dyadic winnowing decontamination (round 5): the (tiny) eval-side
-    # fingerprint set must BROADCAST so the training corpus never
-    # shuffles — a BroadcastHashJoin on the fingerprint, never a sort-merge
-    # or cartesian; selection stays the same codegen string algebra.
+    # Dyadic winnowing decontamination (round 6): same kernel selection per
+    # side; the pair join must never be a cartesian, and the training
+    # corpus must not pay a pre-join sort of its text rows. (The eval-side
+    # broadcast is a SIZE decision: static stats over a mapInPandas child
+    # are unknown, so the static plan may show a shuffle join that AQE
+    # rewrites to broadcast at runtime from the actual tiny eval side —
+    # the static needle asserts the absence of the bad shapes rather than
+    # the presence of the runtime-chosen one.)
     audits["substring_decontam"] = (
-        ["BroadcastHashJoin", "array_min(slice(", "HashAggregate",
-         "!CartesianProduct", "!SortMergeJoin",
+        ["MapInPandas", "HashAggregate", "!array_min(slice(",
+         "!CartesianProduct", "!BroadcastNestedLoopJoin",
          "ReadSchema: struct<doc_id:bigint,text:string>"],
-        "eval fingerprints broadcast; train side is scan -> winnowing "
-        "projection -> broadcast-join probe -> partial count, no shuffle "
-        "of the corpus before the final pair agg",
+        "per-side kernel fingerprint projections joined on the "
+        "fingerprint; no cartesian, no nested-loop; AQE broadcasts the "
+        "tiny eval side at runtime; scan pruned to (doc_id, text)",
     )
     qs["substring_decontam"] = m.queries()["substring_decontam"]
 
