@@ -25,8 +25,27 @@ REPO_SCHEMA = ", ".join(f"{c} string" for c in REPO_COLUMNS)
 UNIT_SEP = "\x1f"
 
 
-def with_durable_id(df: DataFrame) -> DataFrame:
-    """Content-derived durable key + content sha (input_hint invariant)."""
+def with_durable_id(df: DataFrame, spread: bool = True) -> DataFrame:
+    """Content-derived durable key + content sha (input_hint invariant).
+
+    ``spread``: when the source scan exposes fewer partitions than the
+    cluster's default parallelism, one round-robin exchange spreads the
+    rows BEFORE the two sha256 projections. Parquet cannot split inside a
+    row group, so a single-file single-row-group input (pandas writers
+    default to one row group well past 10^5 rows) scans as ONE working
+    task — and Catalyst evaluates projections before a repartition the
+    caller adds downstream, which serializes ~2 sha256 digests per row
+    (one over the full content) into that task. Measured on the 240k-row
+    scaling input at local[8]: 2.7 s -> 1.5 s for scan+hash+repartition.
+    At cluster scale the scan is already at least as wide as
+    defaultParallelism and this is a NO-OP — the gate is derived from the
+    actual scan width, not a local constant. Row values are unchanged
+    either way (the keys are content-derived); only task placement moves.
+    """
+    if spread and not df.isStreaming:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < parallelism:
+            df = df.repartition(parallelism)
     return df.withColumn(
         "id",
         F.sha2(F.concat_ws(UNIT_SEP, F.col("repo"), F.col("path"), F.col("commit")), 256),

@@ -102,3 +102,41 @@ def test_repo_table_round_trips_every_lake_format(spark, tmp_path):
     assert len(loaded["parquet"]) == 4
     with pytest.raises(ValueError):
         load_repo_table(spark, str(tmp_path / "parquet"), fmt="avro")
+
+def test_with_durable_id_spreads_narrow_scan(spark, tmp_path):
+    """Round-6 optimization: a single-file single-row-group input scans as
+    ONE working task, and the two per-row sha256 projections would run
+    inside it. with_durable_id therefore spreads a scan narrower than
+    defaultParallelism with one round-robin exchange BEFORE hashing —
+    values (the content-derived keys) must be identical with and without
+    the spread, and a source already at least as wide as the cluster must
+    not gain an exchange."""
+    import pandas as pd
+
+    from deepblocker_spark.sources.repo_files import with_durable_id
+
+    pdf = pd.DataFrame(
+        {
+            "repo": [f"r{i % 7}" for i in range(500)],
+            "path": [f"p/{i}.py" for i in range(500)],
+            "commit": [f"c{i}" for i in range(500)],
+            "lang": ["py"] * 500,
+            "content": [f"line {i}\n" * 3 for i in range(500)],
+        }
+    )
+    p = str(tmp_path / "one_file.parquet")
+    pdf.to_parquet(p)  # pandas default: one file, one row group
+    src = spark.read.parquet(p)
+    par = spark.sparkContext.defaultParallelism
+
+    spread = with_durable_id(src)
+    plain = with_durable_id(src, spread=False)
+    # the spread engages exactly when the scan is narrower than the cluster
+    if src.rdd.getNumPartitions() < par:
+        assert spread.rdd.getNumPartitions() == par
+    # row values are placement-independent: identical keys either way
+    key = lambda r: (r.id, r.content_sha, r.repo, r.path, r.commit)
+    assert sorted(map(key, spread.collect())) == sorted(map(key, plain.collect()))
+    # an already-wide source must not pay an exchange
+    wide = with_durable_id(src.repartition(par))
+    assert wide.rdd.getNumPartitions() == par
