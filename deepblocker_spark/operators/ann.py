@@ -58,10 +58,14 @@ def lsh_topk(
 def _train_centroids(
     df: DataFrame, id_col: str, emb_col: str, n_cells: int, seed: int,
     sample_rows: int = 20_000, iters: int = 10,
+    rows_hint: int | None = None,
 ):
     """Driver-side spherical k-means on a bounded sample (the IVF 'train'
     phase — centroids are a few KB and broadcast; the big table never leaves
-    the executors)."""
+    the executors). ``rows_hint`` skips the sizing count when the caller
+    already knows N (every internal caller does — it just computed or was
+    hinted the same count for ``_auto_n_cells``); the count only decides
+    the sample-filter modulus, so the hint changes no sampled row."""
     import numpy as np
 
     from deepblocker_spark.operators.topk import normalize_rows
@@ -73,7 +77,7 @@ def _train_centroids(
     # sorted — same shape as pipeline._sample_texts.
     from pyspark.sql import functions as F
 
-    n = df.count()
+    n = rows_hint if rows_hint is not None else df.count()
     if n == 0:
         return np.zeros((0, 0))
     p = max(1, n // max(1, 2 * sample_rows))
@@ -400,9 +404,15 @@ def ivf_topk(
     -> (l_id, r_id, sim, rank), rank<=k per l_id, self-pairs excluded.
     """
     spark = df.sparkSession
+    n_rows = rows_hint
     if n_cells is None:
-        n_cells = _auto_n_cells(rows_hint if rows_hint is not None else df.count())
-    cents = _train_centroids(df, id_col, emb_col, n_cells, seed)
+        if n_rows is None:
+            n_rows = df.count()
+        n_cells = _auto_n_cells(n_rows)
+    # the sizing count (explicit or hinted) doubles as the trainer's sample
+    # modulus — ONE job sizes both instead of two identical counts
+    cents = _train_centroids(df, id_col, emb_col, n_cells, seed,
+                             rows_hint=n_rows)
     cents_bc = _tracked(spark.sparkContext, cents)
     assigned = _assign_cells(df, id_col, emb_col, cents_bc, nprobe,
                              emit_home=True, emit_probes=True,
@@ -446,9 +456,13 @@ def ivf_topk_join(
             f"{l_type.simpleString()} vs {r_type.simpleString()}); cast one "
             "side's id column first"
         )
+    n_rows = rows_hint
     if n_cells is None:
-        n_cells = _auto_n_cells(rows_hint if rows_hint is not None else right.count())
-    cents = _train_centroids(right, r_id, emb_col, n_cells, seed)
+        if n_rows is None:
+            n_rows = right.count()
+        n_cells = _auto_n_cells(n_rows)
+    cents = _train_centroids(right, r_id, emb_col, n_cells, seed,
+                             rows_hint=n_rows)
     cents_bc = _tracked(spark.sparkContext, cents)
     index = _assign_cells(right, r_id, emb_col, cents_bc, nprobe,
                           emit_home=True, emit_probes=False,

@@ -510,7 +510,7 @@ def ivf_pq_topk(
     n = rows_hint if rows_hint is not None else df.count()
     if n_cells is None:
         n_cells = _auto_n_cells(n)
-    cents = _train_centroids(df, id_col, emb_col, n_cells, seed)
+    cents = _train_centroids(df, id_col, emb_col, n_cells, seed, rows_hint=n)
     books = train_pq(
         df, id_col=id_col, emb_col=emb_col, m=m, n_codes=n_codes,
         seed=seed + 1, rows_hint=n,
@@ -552,7 +552,7 @@ def ivf_pq_topk_join(
     n = rows_hint if rows_hint is not None else right.count()
     if n_cells is None:
         n_cells = _auto_n_cells(n)
-    cents = _train_centroids(right, r_id, emb_col, n_cells, seed)
+    cents = _train_centroids(right, r_id, emb_col, n_cells, seed, rows_hint=n)
     books = train_pq(
         right, id_col=r_id, emb_col=emb_col, m=m, n_codes=n_codes,
         seed=seed + 1, rows_hint=n,

@@ -99,9 +99,13 @@ def semantic_dedup(
     )
     from deepblocker_spark.operators.topk import normalize_rows
 
+    n_rows = rows_hint
     if n_cells is None:
-        n_cells = _auto_n_cells(rows_hint if rows_hint is not None else df.count())
-    cents = _train_centroids(df, id_col, emb_col, n_cells, seed)
+        if n_rows is None:
+            n_rows = df.count()
+        n_cells = _auto_n_cells(n_rows)
+    cents = _train_centroids(df, id_col, emb_col, n_cells, seed,
+                             rows_hint=n_rows)
     cents_bc = _tracked(df.sparkSession.sparkContext, cents)
     # one assignment pass; role 0 = index copy. The role-1 query copies are
     # minted from the SAME frame (cache + union) so assignment runs once.
